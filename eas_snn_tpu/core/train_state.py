@@ -1,0 +1,111 @@
+"""Functional training state + jit-compiled train/eval steps with SPMD sharding.
+
+Replaces the reference's DDP/AMP training loop internals (reference:
+yolox/core/trainer.py:95-135): gradients are averaged across the ``data``
+mesh axis by XLA (params replicated, batch sharded — the compiler inserts the
+all-reduce), EMA is a pure tree-map (reference utils/ema.py:22-60), and there
+is no ``reset_net`` because neuron state never escapes a step.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+__all__ = ["TrainState", "create_train_state", "train_step", "eval_step", "ema_update"]
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    ema_params: Any
+    apply_fn: Callable = struct.field(pytree_node=False)
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+
+def create_train_state(
+    model,
+    rng: jax.Array,
+    sample_events: jnp.ndarray,
+    sample_targets: jnp.ndarray,
+    tx: optax.GradientTransformation,
+    use_ema: bool = True,
+) -> TrainState:
+    variables = model.init(rng, sample_events, sample_targets, train=True)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        ema_params=jax.tree_util.tree_map(jnp.copy, params) if use_ema else None,
+        apply_fn=model.apply,
+        tx=tx,
+    )
+
+
+def ema_update(ema_params, params, step, decay: float = 0.9998):
+    """EMA with warmup ramp d = decay * (1 - exp(-step/2000))
+    (reference utils/ema.py:38-43, 52-60)."""
+    d = decay * (1.0 - jnp.exp(-step.astype(jnp.float32) / 2000.0))
+    return jax.tree_util.tree_map(
+        lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d), ema_params, params
+    )
+
+
+@partial(jax.jit, static_argnames=("use_l1", "ema_decay"))
+def train_step(
+    state: TrainState,
+    events: jnp.ndarray,
+    targets: jnp.ndarray,
+    use_l1: bool = False,
+    ema_decay: float = 0.9998,
+) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    def loss_fn(params):
+        out, mutated = state.apply_fn(
+            {"params": params, "batch_stats": state.batch_stats},
+            events,
+            targets,
+            train=True,
+            use_l1=use_l1,
+            mutable=["batch_stats"],
+        )
+        return out["total_loss"], (out, mutated.get("batch_stats", {}))
+
+    (loss, (metrics, new_stats)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True
+    )(state.params)
+    updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    new_step = state.step + 1
+    new_ema = (
+        ema_update(state.ema_params, new_params, new_step, ema_decay)
+        if state.ema_params is not None
+        else None
+    )
+    new_state = state.replace(
+        step=new_step,
+        params=new_params,
+        batch_stats=new_stats,
+        opt_state=new_opt,
+        ema_params=new_ema,
+    )
+    return new_state, metrics
+
+
+@partial(jax.jit, static_argnames=("use_ema",))
+def eval_step(
+    state: TrainState, events: jnp.ndarray, use_ema: bool = True
+) -> jnp.ndarray:
+    params = state.ema_params if (use_ema and state.ema_params is not None) else state.params
+    return state.apply_fn(
+        {"params": params, "batch_stats": state.batch_stats}, events, train=False
+    )

@@ -1,0 +1,280 @@
+"""YOLOX building blocks, re-designed for TPU in Flax (NHWC, channel-last).
+
+Spiking-vs-analog is a *constructor flag* (``NeuronCfg``) instead of the
+reference's post-hoc module surgery (reference: yolox/utils/utils_snn.py:16-58
+``convert_to_spiking``): when ``neuron.spiking`` is true, every activation is
+a ParametricLIF neuron scanning over ``T`` time steps and all convs/BN apply
+with time folded into the batch axis (the reference's ``SeqToANNContainer`` /
+``tdLayer`` trick, yolox/models/layer.py:122-132) — a single large MXU conv
+per layer instead of T small ones.
+
+Block topology parity: BaseConv/DWConv/Bottleneck/SPPBottleneck/CSPLayer/Focus
+(reference: yolox/models/network_blocks.py:31-213). BatchNorm uses
+eps=1e-3, momentum=0.03 as set by ``init_yolo``
+(reference: yolox/exp/event_yolox_base.py:179-183); in spiking mode the BN
+statistics are computed over (T·B, H, W), matching spikingjelly's multi-step
+``BatchNorm2d`` (step_mode='m').
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.lif import PLIF_W_INIT, plif_scan
+from ..ops.surrogate import get_spike_fn
+
+__all__ = [
+    "NeuronCfg",
+    "ANN",
+    "PLIF",
+    "BaseConv",
+    "DWConv",
+    "Bottleneck",
+    "SPPBottleneck",
+    "CSPLayer",
+    "Focus",
+    "upsample2x",
+]
+
+
+class NeuronCfg(NamedTuple):
+    """How activations behave: analog nonlinearity or spiking PLIF over T."""
+
+    spiking: bool = False
+    T: int = 1
+    spike_fn: str = "atan"
+    alpha: float = 2.0
+
+    @staticmethod
+    def ann() -> "NeuronCfg":
+        return NeuronCfg(False, 1, "atan", 2.0)
+
+    @staticmethod
+    def snn(T: int, spike_fn: str = "atan", alpha: float = 2.0) -> "NeuronCfg":
+        return NeuronCfg(True, T, spike_fn, alpha)
+
+
+def analog_act(name: str, x: jnp.ndarray) -> jnp.ndarray:
+    if name == "silu":
+        return jax.nn.silu(x)
+    if name == "relu":
+        return jax.nn.relu(x)
+    if name == "lrelu":
+        return jax.nn.leaky_relu(x, 0.1)
+    if name == "idnt":
+        return x
+    raise AttributeError(f"Unsupported act type: {name}")
+
+
+class PLIF(nn.Module):
+    """Parametric-LIF activation over T steps folded in the batch axis.
+
+    Input/output (T*B, H, W, C); one learnable scalar decay logit per layer
+    (spikingjelly ParametricLIFNode semantics, see ops/lif.py).
+    """
+
+    T: int
+    spike_fn: str = "atan"
+    alpha: float = 2.0
+    thresh: float = 1.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        w = self.param("w", lambda _: jnp.asarray(PLIF_W_INIT, jnp.float32))
+        fn = get_spike_fn(self.spike_fn, self.alpha)
+        tb = x.shape[0]
+        b = tb // self.T
+        xs = x.reshape((self.T, b) + x.shape[1:])
+        spikes, _ = plif_scan(xs, w.astype(x.dtype), fn, self.thresh)
+        return spikes.reshape(x.shape)
+
+
+class ANN(nn.Module):
+    name_: str
+
+    @nn.compact
+    def __call__(self, x):
+        return analog_act(self.name_, x)
+
+
+def make_act(neuron: NeuronCfg, act: str) -> nn.Module:
+    if neuron.spiking:
+        return PLIF(T=neuron.T, spike_fn=neuron.spike_fn, alpha=neuron.alpha)
+    return ANN(name_=act)
+
+
+class BaseConv(nn.Module):
+    """Conv -> BN -> activation (reference network_blocks.py:31-56)."""
+
+    out_channels: int
+    ksize: int
+    stride: int = 1
+    groups: int = 1
+    act: str = "silu"
+    neuron: NeuronCfg = NeuronCfg.ann()
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = nn.Conv(
+            self.out_channels,
+            (self.ksize, self.ksize),
+            strides=self.stride,
+            padding=[( (self.ksize - 1) // 2,) * 2] * 2,
+            feature_group_count=self.groups,
+            use_bias=False,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.97,
+            epsilon=1e-3,
+            name="bn",
+        )(x)
+        return make_act(self.neuron, self.act)(x)
+
+
+class DWConv(nn.Module):
+    """Depthwise conv + pointwise conv (reference network_blocks.py:59-78)."""
+
+    out_channels: int
+    ksize: int
+    stride: int = 1
+    act: str = "silu"
+    neuron: NeuronCfg = NeuronCfg.ann()
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        in_ch = x.shape[-1]
+        x = BaseConv(
+            in_ch, self.ksize, self.stride, groups=in_ch, act=self.act,
+            neuron=self.neuron, name="dconv",
+        )(x, train)
+        return BaseConv(
+            self.out_channels, 1, 1, act=self.act, neuron=self.neuron,
+            name="pconv",
+        )(x, train)
+
+
+class Bottleneck(nn.Module):
+    """1x1 reduce -> 3x3 conv, optional additive (SEW-style) shortcut
+    (reference network_blocks.py:81-104)."""
+
+    out_channels: int
+    shortcut: bool = True
+    expansion: float = 0.5
+    depthwise: bool = False
+    act: str = "silu"
+    neuron: NeuronCfg = NeuronCfg.ann()
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        hidden = int(self.out_channels * self.expansion)
+        y = BaseConv(hidden, 1, 1, act=self.act, neuron=self.neuron, name="conv1")(
+            x, train
+        )
+        Conv = DWConv if self.depthwise else BaseConv
+        y = Conv(self.out_channels, 3, 1, act=self.act, neuron=self.neuron, name="conv2")(
+            y, train
+        )
+        if self.shortcut and x.shape[-1] == self.out_channels:
+            y = y + x
+        return y
+
+
+class SPPBottleneck(nn.Module):
+    """Spatial pyramid pooling (reference network_blocks.py:125-147)."""
+
+    out_channels: int
+    kernel_sizes: Tuple[int, ...] = (5, 9, 13)
+    act: str = "silu"
+    neuron: NeuronCfg = NeuronCfg.ann()
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        hidden = x.shape[-1] // 2
+        x = BaseConv(hidden, 1, 1, act=self.act, neuron=self.neuron, name="conv1")(
+            x, train
+        )
+        pools = [
+            nn.max_pool(
+                x,
+                (ks, ks),
+                strides=(1, 1),
+                padding=[(ks // 2, ks // 2)] * 2,
+            )
+            for ks in self.kernel_sizes
+        ]
+        x = jnp.concatenate([x] + pools, axis=-1)
+        return BaseConv(
+            self.out_channels, 1, 1, act=self.act, neuron=self.neuron, name="conv2"
+        )(x, train)
+
+
+class CSPLayer(nn.Module):
+    """C3: cross-stage partial bottleneck stack
+    (reference network_blocks.py:150-188)."""
+
+    out_channels: int
+    n: int = 1
+    shortcut: bool = True
+    expansion: float = 0.5
+    depthwise: bool = False
+    act: str = "silu"
+    neuron: NeuronCfg = NeuronCfg.ann()
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        hidden = int(self.out_channels * self.expansion)
+        x1 = BaseConv(hidden, 1, 1, act=self.act, neuron=self.neuron, name="conv1")(
+            x, train
+        )
+        x2 = BaseConv(hidden, 1, 1, act=self.act, neuron=self.neuron, name="conv2")(
+            x, train
+        )
+        for i in range(self.n):
+            x1 = Bottleneck(
+                hidden,
+                shortcut=self.shortcut,
+                expansion=1.0,
+                depthwise=self.depthwise,
+                act=self.act,
+                neuron=self.neuron,
+                name=f"m{i}",
+            )(x1, train)
+        x = jnp.concatenate([x1, x2], axis=-1)
+        return BaseConv(
+            self.out_channels, 1, 1, act=self.act, neuron=self.neuron, name="conv3"
+        )(x, train)
+
+
+class Focus(nn.Module):
+    """Space-to-depth stem: (H, W, C) -> (H/2, W/2, 4C) -> conv
+    (reference network_blocks.py:191-213; channel order TL, BL, TR, BR)."""
+
+    out_channels: int
+    ksize: int = 1
+    stride: int = 1
+    act: str = "silu"
+    neuron: NeuronCfg = NeuronCfg.ann()
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        tl = x[..., ::2, ::2, :]
+        tr = x[..., ::2, 1::2, :]
+        bl = x[..., 1::2, ::2, :]
+        br = x[..., 1::2, 1::2, :]
+        x = jnp.concatenate([tl, bl, tr, br], axis=-1)
+        return BaseConv(
+            self.out_channels, self.ksize, self.stride, act=self.act,
+            neuron=self.neuron, name="conv",
+        )(x, train)
+
+
+def upsample2x(x: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-neighbour 2x spatial upsample for NHWC."""
+    x = jnp.repeat(x, 2, axis=-3)
+    return jnp.repeat(x, 2, axis=-2)

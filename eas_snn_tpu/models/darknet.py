@@ -1,0 +1,66 @@
+"""CSPDarknet backbone (reference: yolox/models/darknet.py:97-180), NHWC Flax.
+
+Size is controlled by (dep_mul, wid_mul) exactly as the reference; spiking
+behaviour comes from ``NeuronCfg`` (see blocks.py) instead of module surgery.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .blocks import BaseConv, CSPLayer, DWConv, Focus, NeuronCfg, SPPBottleneck
+
+__all__ = ["CSPDarknet"]
+
+
+class CSPDarknet(nn.Module):
+    dep_mul: float
+    wid_mul: float
+    out_features: Tuple[str, ...] = ("dark3", "dark4", "dark5")
+    depthwise: bool = False
+    act: str = "silu"
+    neuron: NeuronCfg = NeuronCfg.ann()
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> Dict[str, jnp.ndarray]:
+        base_ch = int(self.wid_mul * 64)
+        base_depth = max(round(self.dep_mul * 3), 1)
+        Conv = DWConv if self.depthwise else BaseConv
+        kw = dict(act=self.act, neuron=self.neuron)
+
+        outputs = {}
+        x = Focus(base_ch, ksize=3, name="stem", **kw)(x, train)
+        outputs["stem"] = x
+
+        x = Conv(base_ch * 2, 3, 2, name="dark2_conv", **kw)(x, train)
+        x = CSPLayer(
+            base_ch * 2, n=base_depth, depthwise=self.depthwise, name="dark2_csp", **kw
+        )(x, train)
+        outputs["dark2"] = x
+
+        x = Conv(base_ch * 4, 3, 2, name="dark3_conv", **kw)(x, train)
+        x = CSPLayer(
+            base_ch * 4, n=base_depth * 3, depthwise=self.depthwise,
+            name="dark3_csp", **kw,
+        )(x, train)
+        outputs["dark3"] = x
+
+        x = Conv(base_ch * 8, 3, 2, name="dark4_conv", **kw)(x, train)
+        x = CSPLayer(
+            base_ch * 8, n=base_depth * 3, depthwise=self.depthwise,
+            name="dark4_csp", **kw,
+        )(x, train)
+        outputs["dark4"] = x
+
+        x = Conv(base_ch * 16, 3, 2, name="dark5_conv", **kw)(x, train)
+        x = SPPBottleneck(base_ch * 16, name="dark5_spp", **kw)(x, train)
+        x = CSPLayer(
+            base_ch * 16, n=base_depth, shortcut=False, depthwise=self.depthwise,
+            name="dark5_csp", **kw,
+        )(x, train)
+        outputs["dark5"] = x
+
+        return {k: v for k, v in outputs.items() if k in self.out_features}

@@ -1,0 +1,82 @@
+"""YOLO-PAFPN neck over CSPDarknet features (reference:
+yolox/models/yolo_pafpn.py:12-117, spiking variant spiking_yolo_pafpn.py:14-121).
+
+One module covers all reference variants via two NeuronCfg flags:
+  * ``backbone_neuron`` — spiking backbone ('use_spike=True' mode) or analog;
+  * ``neck_neuron`` — spiking FPN convs ('full_spike' modes) or analog.
+When the backbone is spiking but the neck is not, backbone features are
+rate-decoded (mean over T) before the neck, exactly at the reference's decode
+point (spiking_yolo_pafpn.py:98).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .blocks import BaseConv, CSPLayer, DWConv, NeuronCfg, upsample2x
+from .darknet import CSPDarknet
+
+__all__ = ["YOLOPAFPN"]
+
+
+def rate_decode(x: jnp.ndarray, T: int) -> jnp.ndarray:
+    """(T*B, H, W, C) -> (B, H, W, C) firing-rate decode (mean over T)."""
+    return x.reshape((T, -1) + x.shape[1:]).mean(axis=0)
+
+
+class YOLOPAFPN(nn.Module):
+    depth: float = 1.0
+    width: float = 1.0
+    in_features: Tuple[str, ...] = ("dark3", "dark4", "dark5")
+    in_channels: Tuple[int, int, int] = (256, 512, 1024)
+    depthwise: bool = False
+    act: str = "silu"
+    backbone_neuron: NeuronCfg = NeuronCfg.ann()
+    neck_neuron: NeuronCfg = NeuronCfg.ann()
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False):
+        feats = CSPDarknet(
+            self.depth,
+            self.width,
+            out_features=self.in_features,
+            depthwise=self.depthwise,
+            act=self.act,
+            neuron=self.backbone_neuron,
+            name="backbone",
+        )(x, train)
+        features = [feats[f] for f in self.in_features]
+        if self.backbone_neuron.spiking and not self.neck_neuron.spiking:
+            # rate decode before the analog neck (spiking_yolo_pafpn.py:98)
+            features = [rate_decode(f, self.backbone_neuron.T) for f in features]
+        x2, x1, x0 = features
+
+        w = self.width
+        c0, c1, c2 = (int(c * w) for c in self.in_channels)
+        n = round(3 * self.depth)
+        Conv = DWConv if self.depthwise else BaseConv
+        kw = dict(act=self.act, neuron=self.neck_neuron)
+        csp_kw = dict(shortcut=False, depthwise=self.depthwise, **kw)
+
+        fpn_out0 = BaseConv(c1, 1, 1, name="lateral_conv0", **kw)(x0, train)
+        f_out0 = upsample2x(fpn_out0)
+        f_out0 = jnp.concatenate([f_out0, x1], axis=-1)
+        f_out0 = CSPLayer(c1, n=n, name="C3_p4", **csp_kw)(f_out0, train)
+
+        fpn_out1 = BaseConv(c0, 1, 1, name="reduce_conv1", **kw)(f_out0, train)
+        f_out1 = upsample2x(fpn_out1)
+        f_out1 = jnp.concatenate([f_out1, x2], axis=-1)
+        pan_out2 = CSPLayer(c0, n=n, name="C3_p3", **csp_kw)(f_out1, train)
+
+        p_out1 = Conv(c0, 3, 2, name="bu_conv2", **kw)(pan_out2, train)
+        p_out1 = jnp.concatenate([p_out1, fpn_out1], axis=-1)
+        pan_out1 = CSPLayer(c1, n=n, name="C3_n3", **csp_kw)(p_out1, train)
+
+        p_out0 = Conv(c1, 3, 2, name="bu_conv1", **kw)(pan_out1, train)
+        p_out0 = jnp.concatenate([p_out0, fpn_out0], axis=-1)
+        pan_out0 = CSPLayer(c2, n=n, name="C3_n4", **csp_kw)(p_out0, train)
+
+        return (pan_out2, pan_out1, pan_out0)

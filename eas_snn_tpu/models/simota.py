@@ -1,0 +1,222 @@
+"""SimOTA label assignment + YOLOX detection losses, fully vectorized.
+
+TPU-native re-derivation of the reference's per-image dynamic-shape SimOTA
+(reference: yolox/models/spiking_yolo_head.py:272-593): ground truth arrives
+padded to ``max_labels`` rows per image (EventTrainTransform pads to 50,
+reference data/event_data_augment.py:19), so the whole assignment is dense
+(M, A) matrix work under ``vmap`` — no per-image python loops, no
+``nonzero``, no OOM→CPU fallback. The dynamic top-k "pick dynamic_k lowest
+cost anchors per gt" becomes a rank-vs-k comparison.
+
+All math runs in float32 regardless of the model compute dtype, matching the
+reference's autocast(enabled=False) region (spiking_yolo_head.py:491-499).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.boxes import iou_loss, pairwise_iou
+
+__all__ = ["simota_assign", "yolox_losses", "YoloxLossOutput"]
+
+_BIG = 1e6  # geometry-violation penalty (reference :505)
+_INF = 1e9  # invalid-gt penalty (replaces dynamic gt count)
+
+
+def _bce_probs(p: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """binary_cross_entropy on probabilities, clamped like torch (log >= -100)."""
+    logp = jnp.maximum(jnp.log(p + 1e-12), -100.0)
+    log1mp = jnp.maximum(jnp.log(1.0 - p + 1e-12), -100.0)
+    return -(y * logp + (1.0 - y) * log1mp)
+
+
+def _bce_logits(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """BCE-with-logits, numerically stable (torch BCEWithLogitsLoss)."""
+    return jnp.maximum(x, 0.0) - x * y + jnp.log1p(jnp.exp(-jnp.abs(x)))
+
+
+class AssignResult(NamedTuple):
+    fg_mask: jnp.ndarray          # (A,) bool — anchor is foreground
+    matched_gt: jnp.ndarray       # (A,) int — index of matched gt row
+    pred_iou: jnp.ndarray         # (A,) float — IoU with matched gt
+    num_fg: jnp.ndarray           # () float
+    num_gt: jnp.ndarray           # () float
+
+
+def simota_assign(
+    gt_boxes: jnp.ndarray,      # (M, 4) cxcywh, padded
+    gt_classes: jnp.ndarray,    # (M,) float/int class ids
+    gt_valid: jnp.ndarray,      # (M,) bool
+    pred_boxes: jnp.ndarray,    # (A, 4) cxcywh (decoded, image units)
+    cls_logits: jnp.ndarray,    # (A, C)
+    obj_logits: jnp.ndarray,    # (A, 1) or (A,)
+    centers_x: jnp.ndarray,     # (A,) anchor center x in image units
+    centers_y: jnp.ndarray,     # (A,)
+    strides: jnp.ndarray,       # (A,)
+    num_classes: int,
+    center_radius: float = 1.5,
+) -> AssignResult:
+    """Dense SimOTA for one image (vmap over batch)."""
+    f32 = jnp.float32
+    gt_boxes = gt_boxes.astype(f32)
+    pred_boxes = pred_boxes.astype(f32)
+    obj_logits = obj_logits.reshape(-1).astype(f32)
+    cls_logits = cls_logits.astype(f32)
+    M = gt_boxes.shape[0]
+    A = pred_boxes.shape[0]
+
+    # --- geometry constraint (reference :530-559) -------------------------
+    center_dist = strides.astype(f32) * center_radius          # (A,)
+    dl = centers_x[None, :] - (gt_boxes[:, 0:1] - center_dist[None, :])
+    dr = (gt_boxes[:, 0:1] + center_dist[None, :]) - centers_x[None, :]
+    dt = centers_y[None, :] - (gt_boxes[:, 1:2] - center_dist[None, :])
+    db = (gt_boxes[:, 1:2] + center_dist[None, :]) - centers_y[None, :]
+    is_in_center = (
+        (dl > 0) & (dr > 0) & (dt > 0) & (db > 0) & gt_valid[:, None]
+    )                                                           # (M, A)
+    anchor_filter = jnp.any(is_in_center, axis=0)               # (A,)
+
+    # --- pairwise costs ---------------------------------------------------
+    ious = pairwise_iou(gt_boxes, pred_boxes) * gt_valid[:, None]  # (M, A)
+    iou_cost = -jnp.log(ious + 1e-8)
+
+    joint = jnp.sqrt(
+        jax.nn.sigmoid(cls_logits) * jax.nn.sigmoid(obj_logits)[:, None]
+    )                                                           # (A, C)
+    gt_onehot = jax.nn.one_hot(gt_classes.astype(jnp.int32), num_classes, dtype=f32)
+    cls_cost = _bce_probs(joint[None, :, :], gt_onehot[:, None, :]).sum(-1)  # (M, A)
+
+    # Like the reference, geometry violation is a soft 1e6 penalty — a gt
+    # whose dynamic_k exceeds its in-center anchor count spills into penalty
+    # anchors (:561-571). Anchors outside the global candidate set get a
+    # second penalty so spill prefers in-filter anchors, matching the
+    # reference's column pre-filter (:471). Padded gt rows are excluded
+    # outright below.
+    cost = (
+        cls_cost
+        + 3.0 * iou_cost
+        + _BIG * (~is_in_center)
+        + _BIG * (~anchor_filter)[None, :]
+        + _INF * (~gt_valid)[:, None]
+    )
+
+    # --- dynamic-k (reference :561-570): per gt, k = clamp(sum top10 iou, 1)
+    cand_ious = jnp.where(anchor_filter[None, :], ious, 0.0)
+    k10 = min(10, A)
+    topk_ious = jax.lax.top_k(cand_ious, k10)[0]                # (M, k10)
+    dynamic_ks = jnp.maximum(topk_ious.sum(-1).astype(jnp.int32), 1)  # (M,)
+
+    # per-gt rank of each anchor by ascending cost; match if rank < k
+    order = jnp.argsort(cost, axis=-1)                          # (M, A)
+    ranks = jnp.argsort(order, axis=-1)                         # rank of each anchor
+    matching = (ranks < dynamic_ks[:, None]) & gt_valid[:, None]  # (M, A) bool
+
+    # --- conflict resolution (reference :575-581): anchors matched to >1 gt
+    # keep the min-cost gt (argmin over the full cost column, as the
+    # reference does).
+    n_match = matching.sum(0)                                   # (A,)
+    best_gt = jnp.argmin(cost, axis=0)                          # (A,)
+    keep = jax.nn.one_hot(best_gt, M, axis=0, dtype=jnp.bool_)  # (M, A)
+    matching = jnp.where(n_match[None, :] > 1, matching & keep, matching)
+
+    fg_mask = matching.any(axis=0)                              # (A,)
+    matched_gt = jnp.argmax(matching, axis=0)                   # (A,)
+    pred_iou = (matching * ious).sum(axis=0)                    # (A,)
+    num_fg = fg_mask.sum().astype(f32)
+    num_gt = gt_valid.sum().astype(f32)
+    return AssignResult(fg_mask, matched_gt, pred_iou, num_fg, num_gt)
+
+
+class YoloxLossOutput(NamedTuple):
+    total_loss: jnp.ndarray
+    iou_loss: jnp.ndarray
+    conf_loss: jnp.ndarray
+    cls_loss: jnp.ndarray
+    l1_loss: jnp.ndarray
+    num_fg: jnp.ndarray  # average fg anchors per gt (reference :429)
+
+
+def yolox_losses(
+    outputs: jnp.ndarray,        # (B, A, 5+C) decoded train outputs
+    origin_preds: jnp.ndarray,   # (B, A, 4) raw reg outputs (for L1) or None
+    labels: jnp.ndarray,         # (B, M, 5) [cls, cx, cy, w, h] padded
+    centers_x: jnp.ndarray,      # (A,) grid x (cell units)
+    centers_y: jnp.ndarray,      # (A,)
+    strides: jnp.ndarray,        # (A,)
+    num_classes: int,
+    use_l1: bool = False,
+) -> YoloxLossOutput:
+    """Batched YOLOX training losses with SimOTA assignment.
+
+    ``outputs[..., :4]`` are decoded boxes in image units; obj/cls are logits
+    (reference get_losses: spiking_yolo_head.py:272-430).
+    """
+    f32 = jnp.float32
+    outputs = outputs.astype(f32)
+    labels = labels.astype(f32)
+    bbox_preds = outputs[..., :4]
+    obj_preds = outputs[..., 4:5]
+    cls_preds = outputs[..., 5:]
+
+    gt_valid = labels.sum(axis=2) > 0                     # (B, M) (reference :288)
+    gt_classes = labels[..., 0]
+    gt_boxes = labels[..., 1:5]
+
+    # anchor centers in image units for the geometry constraint (:539-540)
+    acx = (centers_x + 0.5) * strides
+    acy = (centers_y + 0.5) * strides
+
+    assign = jax.vmap(
+        lambda gb, gc, gv, pb, cl, ob: simota_assign(
+            gb, gc, gv, pb, cl, ob, acx, acy, strides, num_classes
+        )
+    )(gt_boxes, gt_classes, gt_valid, bbox_preds, cls_preds, obj_preds)
+
+    fg = assign.fg_mask.astype(f32)                        # (B, A)
+    total_num_fg = jnp.maximum(assign.num_fg.sum(), 1.0)
+    total_num_gt = jnp.maximum(assign.num_gt.sum(), 1.0)
+
+    # targets gathered per anchor from the matched gt row
+    take = jax.vmap(lambda arr, idx: arr[idx])
+    reg_t = take(gt_boxes, assign.matched_gt)              # (B, A, 4)
+    cls_t = (
+        jax.nn.one_hot(take(gt_classes, assign.matched_gt).astype(jnp.int32),
+                       num_classes, dtype=f32)
+        * assign.pred_iou[..., None]
+    )                                                       # (B, A, C)
+    obj_t = fg[..., None]
+
+    loss_iou = (iou_loss(bbox_preds, reg_t) * fg).sum() / total_num_fg
+    loss_obj = _bce_logits(obj_preds, obj_t).sum() / total_num_fg
+    loss_cls = (
+        _bce_logits(cls_preds, cls_t).sum(-1) * fg
+    ).sum() / total_num_fg
+
+    if use_l1 and origin_preds is not None:
+        # l1 targets in grid units (reference get_l1_target :432-437)
+        st = strides[None, :, None]
+        l1_t = jnp.concatenate(
+            [
+                reg_t[..., 0:1] / st - centers_x[None, :, None],
+                reg_t[..., 1:2] / st - centers_y[None, :, None],
+                jnp.log(reg_t[..., 2:3] / st + 1e-8),
+                jnp.log(reg_t[..., 3:4] / st + 1e-8),
+            ],
+            axis=-1,
+        )
+        loss_l1 = (
+            jnp.abs(origin_preds.astype(f32) - l1_t).sum(-1) * fg
+        ).sum() / total_num_fg
+    else:
+        loss_l1 = jnp.asarray(0.0, f32)
+
+    reg_weight = 5.0
+    total = reg_weight * loss_iou + loss_obj + loss_cls + loss_l1
+    return YoloxLossOutput(
+        total, reg_weight * loss_iou, loss_obj, loss_cls, loss_l1,
+        assign.num_fg.sum() / total_num_gt,
+    )

@@ -1,0 +1,159 @@
+"""Assembled event detectors: embedding -> (spiking|analog) PAFPN -> head.
+
+One module covers the reference's four ``use_spike`` variants
+(reference: yolox/exp/event_yolox_base.py:197-214):
+
+  * ``use_spike='none'``  — YOLOX: analog backbone+head; a multi-slice
+    embedding output keeps only slice 0 (reference yolox.py:39-40).
+  * ``use_spike='backbone'`` ('True' in reference) — spiking CSPDarknet,
+    analog FPN + head, rate decode after the backbone.
+  * ``use_spike='full'`` ('full_spike') — spiking backbone+FPN, analog head
+    over rate-decoded features.
+  * ``use_spike='full_v2'`` ('full_spike_v2') — fully spiking head too;
+    predictions are rate-decoded.
+
+Temporal contract (reference spiking_yolox.py:38-57): the embedding emits
+either a single frame (broadcast to T SNN steps) or Ts slices with Ts == T.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .blocks import NeuronCfg
+from .embedding import build_embedding
+from .head import HeadOutput, YOLOXHead
+from .pafpn import YOLOPAFPN
+from .simota import YoloxLossOutput, yolox_losses
+
+__all__ = ["EASYOLOX", "ModelConfig"]
+
+USE_SPIKE_MODES = ("none", "backbone", "full", "full_v2")
+
+
+class EASYOLOX(nn.Module):
+    num_classes: int = 2
+    depth: float = 0.33
+    width: float = 0.50
+    act: str = "silu"
+    use_spike: str = "backbone"
+    T: int = 3
+    spike_fn: str = "atan"
+    alpha: float = 2.0
+    depthwise: bool = False
+    # embedding knobs (see build_embedding)
+    embedding: str = "arsnn"
+    embedding_ksize: int = 5
+    embedding_depth: int = 1
+    Ts: int = 1
+    readout: str = "sum"
+    spike_attach: bool = False
+    write_zero: bool = False
+    use_abs: bool = False
+    thresh: float = 1.0
+    vreset: Optional[float] = 0.0
+    decay: float = 0.5
+
+    def setup(self):
+        assert self.use_spike in USE_SPIKE_MODES, self.use_spike
+        spiking = self.use_spike != "none"
+        bb_neuron = (
+            NeuronCfg.snn(self.T, self.spike_fn, self.alpha)
+            if spiking
+            else NeuronCfg.ann()
+        )
+        neck_neuron = (
+            NeuronCfg.snn(self.T, self.spike_fn, self.alpha)
+            if self.use_spike in ("full", "full_v2")
+            else NeuronCfg.ann()
+        )
+        head_neuron = (
+            NeuronCfg.snn(self.T, self.spike_fn, self.alpha)
+            if self.use_spike == "full_v2"
+            else NeuronCfg.ann()
+        )
+        self.emb = build_embedding(
+            self.embedding,
+            ksize=self.embedding_ksize,
+            depth=self.embedding_depth,
+            Ts=self.Ts,
+            readout=self.readout,
+            spike_attach=self.spike_attach,
+            write_zero=self.write_zero,
+            use_abs=self.use_abs,
+            thresh=self.thresh,
+            vreset=self.vreset,
+            decay=self.decay,
+        )
+        self.backbone = YOLOPAFPN(
+            depth=self.depth,
+            width=self.width,
+            depthwise=self.depthwise,
+            act=self.act,
+            backbone_neuron=bb_neuron,
+            neck_neuron=neck_neuron,
+        )
+        # heads consume (T*B) features when the neck is spiking
+        self.head = YOLOXHead(
+            num_classes=self.num_classes,
+            width=self.width,
+            act=self.act,
+            depthwise=self.depthwise,
+            neuron=head_neuron,
+            decode_input=(self.use_spike == "full"),
+            T=self.T,
+        )
+
+    def _temporalize(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Embedding output -> (T*B, H, W, C) for the spiking backbone
+        (reference spiking_yolox.py:52-57)."""
+        if x.ndim == 4:  # single frame -> broadcast over T
+            x = jnp.broadcast_to(x[None], (self.T,) + x.shape)
+        elif x.shape[0] == 1:
+            x = jnp.broadcast_to(x, (self.T,) + x.shape[1:])
+        else:
+            assert x.shape[0] == self.T, (
+                f"embedding emitted {x.shape[0]} slices but T={self.T}"
+            )
+        return x.reshape((-1,) + x.shape[2:])
+
+    def __call__(
+        self,
+        events: jnp.ndarray,
+        targets: Optional[jnp.ndarray] = None,
+        train: bool = False,
+        use_l1: bool = False,
+    ):
+        x = self.emb(events)
+        if self.use_spike == "none":
+            if x.ndim > 4:
+                x = x[0]  # keep first slice (reference yolox.py:39-40)
+        else:
+            x = self._temporalize(x)
+        fpn_outs = self.backbone(x, train=train)
+        head_out: HeadOutput = self.head(fpn_outs, train=train)
+
+        if targets is not None and train:
+            losses: YoloxLossOutput = yolox_losses(
+                head_out.outputs,
+                head_out.origin_preds,
+                targets,
+                head_out.grid_x,
+                head_out.grid_y,
+                head_out.strides,
+                self.num_classes,
+                use_l1=use_l1,
+            )
+            return {
+                "total_loss": losses.total_loss,
+                "iou_loss": losses.iou_loss,
+                "conf_loss": losses.conf_loss,
+                "cls_loss": losses.cls_loss,
+                "l1_loss": losses.l1_loss,
+                "num_fg": losses.num_fg,
+            }
+        return head_out.outputs
