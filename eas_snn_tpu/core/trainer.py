@@ -1,0 +1,237 @@
+"""Training loop driver.
+
+(reference: yolox/core/trainer.py:36-419 Trainer — here the per-iteration
+work is one jit-compiled ``train_step`` (grads + optax update + EMA fused in
+one XLA program; no GradScaler because bf16 on TPU needs no loss scaling, no
+``reset_net`` because neuron state is functional), batches are placed with
+``device_put`` against the data-parallel sharding while the previous step
+runs (the prefetch overlap the reference gets from its CUDA-stream
+DataPrefetcher), and checkpoints go through Orbax.)
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+from ..utils.logger import setup_logger
+from ..utils.metric import MeterBuffer, hbm_usage_gb
+from .checkpoint import CheckpointManager
+from .train_state import create_train_state, train_step
+
+__all__ = ["Trainer"]
+
+
+class Trainer:
+    def __init__(self, exp, args):
+        import jax
+
+        self.exp = exp
+        self.args = args
+        self.rank = jax.process_index()
+        self.world_size = jax.process_count()
+        self.max_epoch = exp.max_epoch
+        self.input_size = exp.input_size
+        self.best_ap = 0.0
+        self.meter = MeterBuffer(window_size=exp.print_interval)
+        self.file_name = os.path.join(exp.output_dir, getattr(args, "experiment_name", None) or exp.exp_name)
+        if self.rank == 0:
+            os.makedirs(self.file_name, exist_ok=True)
+        self.logger = setup_logger(self.file_name, self.rank)
+        self.use_l1 = False
+        self.no_aug = False
+
+    # ------------------------------------------------------------------
+    def train(self):
+        self.before_train()
+        try:
+            for self.epoch in range(self.start_epoch, self.max_epoch):
+                self.before_epoch()
+                self.train_in_iter()
+                self.after_epoch()
+        finally:
+            self.after_train()
+
+    # ------------------------------------------------------------------
+    def before_train(self):
+        import jax
+        import jax.numpy as jnp
+
+        from ..parallel import data_parallel_shardings, make_mesh
+
+        exp, args = self.exp, self.args
+        self.logger.info(f"args: {vars(args) if args else {}}")
+        self.logger.info(f"exp value:\n{exp}")
+
+        batch_size = args.batch_size
+        self.batch_size = batch_size
+        self.model = exp.get_model()
+
+        self.train_loader = exp.get_data_loader(
+            batch_size=batch_size, training=True,
+        )
+        self.iters_per_epoch = getattr(
+            exp, "iters_per_epoch", None
+        ) or max(len(self.train_loader.dataset) // batch_size, 1)
+
+        # sample batch for init
+        self._loader_iter = iter(self.train_loader)
+        frames, labels, _, _ = next(self._loader_iter)
+        sample_e = jnp.asarray(frames[:1])
+        sample_t = jnp.asarray(labels[:1])
+
+        rng = jax.random.PRNGKey(exp.seed or 0)
+        # params needed for optimizer masks: init first
+        variables = self.model.init(rng, sample_e, sample_t, train=True)
+        tx = exp.get_optimizer(
+            variables["params"], batch_size, iters_per_epoch=self.iters_per_epoch
+        )
+        self.state = create_train_state(
+            self.model, rng, sample_e, sample_t, tx, use_ema=exp.ema
+        )
+        self.lr_schedule = exp.get_lr_schedule(batch_size, self.iters_per_epoch)
+
+        self.mesh = make_mesh()
+        self.batch_sharding, self.repl_sharding = data_parallel_shardings(self.mesh)
+        self.state = jax.device_put(self.state, self.repl_sharding)
+
+        self.ckpt = CheckpointManager(os.path.join(self.file_name, "ckpt"))
+        self.start_epoch = 0
+        if getattr(self.args, "resume", False):
+            self.state, self.best_ap = self.ckpt.restore(self.state)
+            self.start_epoch = int(self.state.step) // self.iters_per_epoch
+            self.logger.info(
+                f"resumed at step {int(self.state.step)} "
+                f"(epoch {self.start_epoch}), best_ap {self.best_ap:.4f}"
+            )
+
+        self.evaluator = None
+        self._pending = None
+        self.logger.info(
+            f"devices: {jax.device_count()} "
+            f"({jax.local_device_count()} local), mesh: {self.mesh}"
+        )
+        self.logger.info("training starts...")
+
+    def _put(self, frames, labels):
+        import jax
+        import jax.numpy as jnp
+
+        return (
+            jax.device_put(jnp.asarray(frames), self.batch_sharding),
+            jax.device_put(jnp.asarray(labels), self.batch_sharding),
+        )
+
+    def before_epoch(self):
+        if (
+            self.exp.no_aug_epochs > 0
+            and self.epoch >= self.max_epoch - self.exp.no_aug_epochs
+            and not self.no_aug
+        ):
+            # close aug + enable L1 for the tail (reference trainer.py:228-241)
+            self.logger.info("--->no-aug phase: closing random aug, adding L1")
+            self.no_aug = True
+            self.use_l1 = True
+            self.train_loader.dataset.training = False
+
+    def train_in_iter(self):
+        for it in range(self.iters_per_epoch):
+            iter_start = time.perf_counter()
+            frames, labels, _, _ = next(self._loader_iter)
+            data_end = time.perf_counter()
+            events, targets = self._put(frames, labels)
+            self.state, metrics = train_step(
+                self.state, events, targets, use_l1=self.use_l1,
+                ema_decay=0.9998,
+            )
+            self.progress_in_iter = self.epoch * self.iters_per_epoch + it
+            if (it + 1) % self.exp.print_interval == 0:
+                metrics = {k: float(v) for k, v in metrics.items()}
+                iter_end = time.perf_counter()
+                self.meter.update(
+                    iter_time=iter_end - iter_start,
+                    data_time=data_end - iter_start,
+                    lr=float(self.lr_schedule(self.state.step)),
+                    **metrics,
+                )
+                self._log_iter(it)
+
+    def _log_iter(self, it):
+        left_iters = (
+            self.iters_per_epoch * self.max_epoch - (self.progress_in_iter + 1)
+        )
+        eta = datetime.timedelta(
+            seconds=int(left_iters * self.meter["iter_time"].avg)
+        )
+        loss_str = ", ".join(
+            f"{k}: {v.latest:.3f}"
+            for k, v in self.meter.items()
+            if "loss" in k or k == "num_fg"
+        )
+        self.logger.info(
+            f"epoch: {self.epoch + 1}/{self.max_epoch}, "
+            f"iter: {it + 1}/{self.iters_per_epoch}, "
+            f"hbm: {hbm_usage_gb():.1f}GiB, "
+            f"iter_time: {self.meter['iter_time'].avg:.3f}s, "
+            f"data_time: {self.meter['data_time'].avg:.3f}s, "
+            f"{loss_str}, "
+            f"lr: {self.meter['lr'].latest:.3e}, "
+            f"ETA: {eta}"
+        )
+
+    def after_epoch(self):
+        self.save_ckpt()
+        if (self.epoch + 1) % self.exp.eval_interval == 0:
+            self.evaluate_and_save_model()
+
+    def evaluate_and_save_model(self):
+        import jax
+
+        if self.evaluator is None:
+            self.evaluator = self.exp.get_evaluator(
+                batch_size=self.batch_size
+            )
+        state = self.state
+
+        def forward_fn(frames):
+            import jax.numpy as jnp
+
+            from .train_state import eval_step
+
+            return eval_step(state, jnp.asarray(frames), use_ema=self.exp.ema)
+
+        ap, ap50, summary = self.evaluator.evaluate(forward_fn)
+        update_best = ap > self.best_ap
+        self.best_ap = max(self.best_ap, ap)
+        self.logger.info(
+            f"epoch {self.epoch + 1} eval: AP={ap:.4f} AP50={ap50:.4f} "
+            f"(best {self.best_ap:.4f})\n{summary}"
+        )
+        self.save_ckpt(update_best)
+
+    def save_ckpt(self, is_best: bool = False):
+        if self.rank != 0:
+            return
+        self.ckpt.save(
+            int(self.state.step), self.state, best_ap=self.best_ap,
+            is_best=is_best,
+        )
+
+    def after_train(self):
+        self.logger.info(
+            f"training done, best AP: {self.best_ap:.4f}"
+        )
+        if getattr(self.args, "grid_search", False):
+            # grid-search CSV row (reference trainer.py:205-226)
+            import csv
+            import sys
+
+            path = os.path.join(self.exp.output_dir, "grid_search.csv")
+            with open(path, "a", newline="") as f:
+                csv.writer(f).writerow(
+                    [self.best_ap, self.file_name, " ".join(sys.argv)]
+                )

@@ -1,0 +1,233 @@
+"""Shared event-detection dataset machinery.
+
+One base class replaces the reference's three copy-pasted dataset skeletons
+(reference: yolox/data/datasets/gen1.py:43-521, gen4.py:46-975,
+ncaltech.py:22-400). Responsibilities:
+
+  * label index: per-file lists of (timestamp, (N, 5) xyxy+cls boxes) groups;
+    global sample index -> (file, group) via cumsum + searchsorted
+    (gen1.py:263-267);
+  * slice generation: ``Tl`` aggregated frames ending at the label timestamp
+    — continuous mode seeks backwards in wall-clock windows
+    (gen1.py:115-137); each window is loaded with a fixed ``window`` span
+    and a zero-event backoff loop (gen1.py:217-236);
+  * aggregation dispatch to the representation kernels in reps.py
+    (sum / micro_sum / voxel_grid / voxel_cube / timesurface,
+    gen1.py:330-373);
+  * joint augmentation + target transform (augment.py);
+  * mAP-val mode returning raw-sensor-size boxes + sample ids
+    (gen1.py:191-197).
+
+Sample-name lookup is a precomputed dict — the reference's
+``sample_names.index(...)`` is O(N^2) over the dataset (SURVEY.md §2.11).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .augment import (
+    TrainTransform,
+    ValTransform,
+    letterbox,
+    random_resize_place_flip,
+    resize_frames,
+    xyxy2cxcywh_np,
+)
+from .reps import (
+    micro_sum,
+    polarity_histogram,
+    slice_time_windows,
+    timesurface,
+    voxel_cube,
+    voxel_grid,
+)
+
+__all__ = ["EventDetDataset", "LabelGroup"]
+
+LabelGroup = Tuple[int, np.ndarray]  # (timestamp_us, (N, 5) [x1,y1,x2,y2,cls])
+
+
+class EventDetDataset:
+    """Base class; subclasses implement ``_load_index`` (fill ``self.files``
+    and ``self.labels``) and ``events_in_window(file_idx, t0, t1)``."""
+
+    def __init__(
+        self,
+        data_dir: str,
+        input_size: Tuple[int, int],
+        img_size: Tuple[int, int],
+        *,
+        training: bool = True,
+        map_val: bool = False,
+        aggregation: str = "micro_sum",
+        num_slice: int = 1,       # Tl
+        micro_slice: int = 1,     # Tm
+        window: Tuple[int, int] = (-200000, 0),  # us, relative to label time
+        overlap: float = 0.0,
+        measure: str = "count",
+        max_labels: int = 50,
+        flip_prob: float = 0.5,
+        jitter: float = 0.3,
+        letterbox_val: bool = True,
+        seed: int = 0,
+        class_names: Sequence[str] = (),
+    ):
+        self.data_dir = data_dir
+        self.input_size = tuple(input_size)
+        self.img_size = tuple(img_size)
+        self.training = training
+        self.map_val = map_val
+        self.aggregation = aggregation
+        self.num_slice = num_slice
+        self.micro_slice = micro_slice
+        self.window = tuple(window)
+        self.overlap = overlap
+        self.measure = measure
+        self.flip_prob = flip_prob
+        self.jitter = jitter
+        self.letterbox_val = letterbox_val
+        self.class_names = tuple(class_names)
+        self.target_transform = (
+            TrainTransform(max_labels) if not map_val else ValTransform()
+        )
+        self.rng = np.random.default_rng(seed)
+
+        self.files: List[str] = []
+        self.labels: List[List[LabelGroup]] = []
+        self._load_index()
+        self.end_idx = np.cumsum([len(groups) for groups in self.labels])
+        self.sample_names = [
+            self.sample_name(f, g)
+            for f in range(len(self.labels))
+            for g in range(len(self.labels[f]))
+        ]
+        self.name_to_id: Dict[str, int] = {
+            n: i for i, n in enumerate(self.sample_names)
+        }
+
+    # ------------------------------------------------------------------
+    # subclass interface
+    # ------------------------------------------------------------------
+    def _load_index(self):
+        raise NotImplementedError
+
+    def events_in_window(self, file_idx: int, t0: int, t1: int) -> np.ndarray:
+        """Decoded events of stream ``file_idx`` with t0 <= t < t1."""
+        raise NotImplementedError
+
+    # ------------------------------------------------------------------
+    def __len__(self) -> int:
+        return int(self.end_idx[-1]) if len(self.end_idx) else 0
+
+    def resolve_index(self, index: int) -> Tuple[int, int]:
+        file = int(np.searchsorted(self.end_idx, index, side="right"))
+        assert file < len(self.end_idx), "index exceeds dataset size"
+        group = index - (int(self.end_idx[file - 1]) if file > 0 else 0)
+        return file, group
+
+    def sample_name(self, file_idx: int, group_idx: int) -> str:
+        base = os.path.basename(self.files[file_idx]).split("_bbox.npy")[0]
+        t = self.labels[file_idx][group_idx][0]
+        return f"{base}_r{group_idx}_a{t}"
+
+    # ------------------------------------------------------------------
+    # slicing + aggregation
+    # ------------------------------------------------------------------
+    def search_events(self, file_idx: int, timestamp: int) -> np.ndarray:
+        """Load the fixed window ending at ``timestamp``; if empty, back off
+        window-by-window up to num_slice times (gen1.py:217-236)."""
+        w0, w1 = self.window
+        span = w1 - w0
+        cur = timestamp + w0
+        for trigger in range(self.num_slice + 1):
+            events = self.events_in_window(file_idx, cur, cur + span)
+            if len(events) > 0:
+                return events
+            cur -= span
+        return events
+
+    def generate_slices(self, file_idx: int, group_idx: int) -> np.ndarray:
+        """``Tl`` aggregated frames ending at the label timestamp
+        (continuous mode, gen1.py:115-127)."""
+        timestamp = int(self.labels[file_idx][group_idx][0])
+        w0, w1 = self.window
+        span = w1 - w0
+        frames = [
+            self.aggregate(self.search_events(file_idx, timestamp + k * span))
+            for k in range(-self.num_slice + 1, 1)
+        ]
+        return np.stack(frames, 0)
+
+    def aggregate(self, events: Optional[np.ndarray]) -> np.ndarray:
+        h, w = self.img_size
+        Tm = self.micro_slice
+        if self.aggregation == "sum":
+            if events is None or len(events) == 0:
+                return np.zeros((h, w, 2), np.float32)
+            return polarity_histogram(events, h, w)
+        if self.aggregation == "micro_sum":
+            if events is None or len(events) == 0:
+                return np.zeros((Tm, h, w, 2), np.float32)
+            return micro_sum(events, Tm, h, w)
+        if self.aggregation == "voxel_grid":
+            if events is None or len(events) == 0:
+                return np.zeros((Tm, h, w, 1), np.float32)
+            return voxel_grid(events, h, w, n_time_bins=Tm)
+        if self.aggregation == "voxel_cube":
+            if events is None or len(events) == 0:
+                return np.zeros((Tm, h, w, 4), np.float32)
+            return voxel_cube(events, h, w, num_slices=Tm)
+        if self.aggregation == "timesurface":
+            if events is None or len(events) == 0:
+                return np.zeros((Tm, h, w, 2), np.float32)
+            slices, dt = slice_time_windows(events, Tm, self.overlap)
+            return timesurface(slices, h, w, dt=dt, tau=50e3)
+        raise NotImplementedError(f"aggregation '{self.aggregation}'")
+
+    # ------------------------------------------------------------------
+    def raw_boxes(self, file_idx: int, group_idx: int) -> np.ndarray:
+        """(N, 5) [x1, y1, x2, y2, cls] at raw sensor resolution."""
+        return self.labels[file_idx][group_idx][1].astype(np.float32).copy()
+
+    def __getitem__(self, index: int):
+        file_idx, group_idx = self.resolve_index(index)
+        raw = self.raw_boxes(file_idx, group_idx)
+        frames = self.generate_slices(file_idx, group_idx)  # (Tl, ..., H, W, C)
+        multi_micro = frames.ndim > 4
+        if multi_micro:
+            Tl, Tm = frames.shape[:2]
+            frames = frames.reshape((-1,) + frames.shape[2:])
+
+        if self.training:
+            frames, boxes = random_resize_place_flip(
+                frames, raw, self.input_size, self.rng,
+                jitter=self.jitter, flip_prob=self.flip_prob,
+            )
+        elif self.letterbox_val:
+            frames, boxes = letterbox(frames, raw, self.input_size)
+        else:
+            frames = resize_frames(
+                frames, (self.input_size[1], self.input_size[0])
+            )
+            h, w = self.input_size
+            ih, iw = self.img_size
+            boxes = raw.copy()
+            boxes[:, [0, 2]] *= w / iw
+            boxes[:, [1, 3]] *= h / ih
+
+        if multi_micro:
+            frames = frames.reshape((Tl, Tm) + frames.shape[1:])
+
+        sid = self.name_to_id[self.sample_name(file_idx, group_idx)]
+        if self.map_val:
+            # raw-resolution cxcywh boxes for protocol eval (gen1.py:191-197)
+            raw_c = xyxy2cxcywh_np(raw) if len(raw) else raw
+            frames, raw_c = self.target_transform(frames, raw_c, self.input_size)
+            return frames, raw_c, self.img_size, sid
+        cxcywh = xyxy2cxcywh_np(boxes) if len(boxes) else boxes
+        frames, padded = self.target_transform(frames, cxcywh, self.input_size)
+        return frames, padded, self.img_size, sid

@@ -1,0 +1,219 @@
+"""COCO-protocol and Prophesee-protocol evaluators over event datasets.
+
+(reference: yolox/evaluators/event_evaluator.py:84-565 EventEvaluator,
+psee_evaluator.py:86-508 PSEEEvaluator.)
+
+Both evaluators drive a jit-compiled forward callable
+``forward_fn(events) -> (B, A, 5+C)`` (decoded boxes in input-size units,
+obj/cls already sigmoided — the model's eval path), postprocess with
+confidence filtering + class-aware NMS on host, and aggregate across
+processes with ``multihost_utils.process_allgather`` (replacing the
+reference's gloo object-gather, utils/dist.py:195-274).
+"""
+
+from __future__ import annotations
+
+import time
+from collections import defaultdict
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..data.psee_io import BBOX_DTYPE
+from ..ops.boxes import postprocess_numpy
+from .coco_map import DetEval, EvalResults, summarize
+from .prophesee import PropheseeEvaluator, boxes_to_prophesee
+
+__all__ = ["EventEvaluator", "PSEEEvaluator"]
+
+
+def _allgather_rows(rows: np.ndarray) -> np.ndarray:
+    """Gather variable-length row arrays from all hosts (single-host: id)."""
+    import jax
+
+    if jax.process_count() == 1:
+        return rows
+    from jax.experimental import multihost_utils
+
+    gathered = multihost_utils.process_allgather(rows, tiled=False)
+    return np.concatenate(list(gathered), axis=0)
+
+
+class EventEvaluator:
+    """COCO-protocol mAP over an event dataset (map_val loader)."""
+
+    def __init__(
+        self,
+        dataloader,
+        img_size: Tuple[int, int],
+        confthre: float,
+        nmsthre: float,
+        num_classes: int,
+        per_class_report: bool = True,
+    ):
+        self.dataloader = dataloader
+        self.img_size = img_size
+        self.confthre = confthre
+        self.nmsthre = nmsthre
+        self.num_classes = num_classes
+        self.per_class_report = per_class_report
+
+    def _letterbox_scale(self, img_h: float, img_w: float) -> float:
+        return min(self.img_size[0] / img_h, self.img_size[1] / img_w)
+
+    def evaluate(
+        self, forward_fn: Callable[[np.ndarray], np.ndarray]
+    ) -> Tuple[float, float, str]:
+        """Returns (AP@[.5:.95], AP@.5, summary text)
+        (reference evaluate: event_evaluator.py:122-263)."""
+        det_rows: List[List[float]] = []
+        gt_rows: List[List[float]] = []
+        n_samples = 0
+        fwd_time = 0.0
+        nms_time = 0.0
+
+        for frames, labels, img_sizes, ids in self.dataloader:
+            t0 = time.perf_counter()
+            outputs = np.asarray(forward_fn(frames))
+            fwd_time += time.perf_counter() - t0
+
+            t0 = time.perf_counter()
+            dets = postprocess_numpy(
+                outputs, self.num_classes, self.confthre, self.nmsthre
+            )
+            nms_time += time.perf_counter() - t0
+
+            for det, (img_h, img_w), sid, lab in zip(
+                dets, img_sizes, ids, labels
+            ):
+                n_samples += 1
+                scale = self._letterbox_scale(float(img_h), float(img_w))
+                # GT rows: raw-size [cx, cy, w, h, cls] -> corner xywh
+                lab = np.asarray(lab)
+                for cx, cy, w, h, cls_id in lab.reshape(-1, 5):
+                    gt_rows.append(
+                        [int(sid), cls_id, cx - w / 2, cy - h / 2, w, h, 0]
+                    )
+                if det is None:
+                    continue
+                # det: (n, 7) [x1, y1, x2, y2, obj, cls_conf, cls]
+                b = det[:, :4] / scale
+                scores = det[:, 4] * det[:, 5]
+                for i in range(len(det)):
+                    gt_w = b[i, 2] - b[i, 0]
+                    gt_h = b[i, 3] - b[i, 1]
+                    det_rows.append(
+                        [int(sid), det[i, 6], b[i, 0], b[i, 1], gt_w, gt_h,
+                         scores[i]]
+                    )
+
+        det_arr = _allgather_rows(np.asarray(det_rows, np.float64).reshape(-1, 7))
+        gt_arr = _allgather_rows(np.asarray(gt_rows, np.float64).reshape(-1, 7))
+
+        res = DetEval(self.num_classes).evaluate(det_arr, gt_arr)
+        class_names = getattr(self.dataloader.dataset, "class_names", ())
+        text = summarize(
+            res, class_names if self.per_class_report else ()
+        )
+        if n_samples:
+            text += (
+                f"\n forward: {1000 * fwd_time / n_samples:.2f} ms/img,"
+                f" NMS: {1000 * nms_time / n_samples:.2f} ms/img"
+            )
+        return res.ap, res.ap50, text
+
+
+class PSEEEvaluator(EventEvaluator):
+    """Prophesee-protocol evaluation (reference psee_evaluator.py:86-307):
+    predictions are rescaled to sensor resolution, stamped with the label
+    time parsed from sample names, buffered, and evaluated with the
+    +/-50 ms protocol at the end."""
+
+    def __init__(
+        self,
+        dataloader,
+        img_size: Tuple[int, int],
+        confthre: float,
+        nmsthre: float,
+        num_classes: int,
+        camera: str = "gen1",
+        downsampled_by_2: bool = False,
+    ):
+        super().__init__(dataloader, img_size, confthre, nmsthre, num_classes)
+        self.camera = camera
+        self.downsampled_by_2 = downsampled_by_2
+
+    @staticmethod
+    def _parse_name(name: str) -> Tuple[str, int]:
+        """'<stream>_r<idx>_a<time>' -> (stream, time_us)
+        (reference get_time_from_name: psee_evaluator.py:285)."""
+        stream, _, tail = name.rpartition("_r")
+        t = int(tail.rpartition("_a")[2])
+        return stream, t
+
+    def evaluate(
+        self, forward_fn: Callable[[np.ndarray], np.ndarray]
+    ) -> Tuple[float, float, str]:
+        ds = self.dataloader.dataset
+        per_stream_gt: Dict[str, List] = defaultdict(list)
+        per_stream_dt: Dict[str, List] = defaultdict(list)
+        n_samples = 0
+        fwd_time = 0.0
+
+        for frames, labels, img_sizes, ids in self.dataloader:
+            t0 = time.perf_counter()
+            outputs = np.asarray(forward_fn(frames))
+            fwd_time += time.perf_counter() - t0
+            dets = postprocess_numpy(
+                outputs, self.num_classes, self.confthre, self.nmsthre
+            )
+            for det, (img_h, img_w), sid, lab in zip(
+                dets, img_sizes, ids, labels
+            ):
+                n_samples += 1
+                stream, t_us = self._parse_name(ds.sample_names[int(sid)])
+                lab = np.asarray(lab)
+                if lab.size:
+                    # raw-size rows [cx, cy, w, h, cls] -> corner x/y
+                    per_stream_gt[stream].append(
+                        (t_us, lab[:, 0] - lab[:, 2] / 2,
+                         lab[:, 1] - lab[:, 3] / 2, lab[:, 2], lab[:, 3],
+                         lab[:, 4])
+                    )
+                if det is None:
+                    continue
+                scale = self._letterbox_scale(float(img_h), float(img_w))
+                b = det[:, :4] / scale
+                per_stream_dt[stream].append(
+                    (t_us, b[:, 0], b[:, 1], b[:, 2] - b[:, 0],
+                     b[:, 3] - b[:, 1], det[:, 6], det[:, 4] * det[:, 5])
+                )
+
+        evaluator = PropheseeEvaluator(self.camera, self.downsampled_by_2)
+        for stream in sorted(
+            set(per_stream_gt) | set(per_stream_dt)
+        ):
+            g_parts, d_parts = [], []
+            for t_us, x, y, w, h, cls in per_stream_gt.get(stream, []):
+                g_parts.append(boxes_to_prophesee(
+                    np.full(len(x), t_us, np.int64), x, y, w, h,
+                    cls.astype(np.int64), np.ones(len(x), np.float32),
+                ))
+            for t_us, x, y, w, h, cls, conf in per_stream_dt.get(stream, []):
+                d_parts.append(boxes_to_prophesee(
+                    np.full(len(x), t_us, np.int64), x, y, w, h,
+                    cls.astype(np.int64), conf,
+                ))
+            evaluator.add_labels(
+                np.concatenate(g_parts) if g_parts else np.zeros(0, BBOX_DTYPE)
+            )
+            evaluator.add_predictions(
+                np.concatenate(d_parts) if d_parts else np.zeros(0, BBOX_DTYPE)
+            )
+        metrics = evaluator.evaluate_buffer()
+        text = "\n".join(
+            f" {k}: {v:.4f}" for k, v in metrics.items() if not isinstance(v, dict)
+        )
+        if n_samples:
+            text += f"\n forward: {1000 * fwd_time / n_samples:.2f} ms/img"
+        return metrics["AP"], metrics["AP_50"], text

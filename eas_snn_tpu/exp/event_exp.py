@@ -64,6 +64,8 @@ class EventExp(BaseExp):
         self.decay = 0.5
         self.speed_aug = False
         self.spike_fn = "rect"
+        # conv/BN compute dtype: 'float32' | 'bfloat16' (MXU fast path)
+        self.compute_dtype = "float32"
         self.data_name = "n-caltech"
         # ---------------- dataloader config (reference :61-79) -----------
         self.data_num_workers = 4
@@ -126,6 +128,7 @@ class EventExp(BaseExp):
             thresh=float(self.thresh),
             vreset=None if self.reset is None else float(self.reset),
             decay=self.decay,
+            compute_dtype=self.compute_dtype,
         )
 
     def get_slice_args(self) -> dict:
@@ -139,7 +142,7 @@ class EventExp(BaseExp):
             window=(self.window * 1000, 0),
         )
 
-    def get_dataset(self, training: bool = True):
+    def get_dataset(self, training: bool = True, map_val: bool = False):
         """Dataset factory by data_name (reference :220-247, :445-482)."""
         from ..data import build_dataset
 
@@ -147,16 +150,22 @@ class EventExp(BaseExp):
             self.data_name,
             data_dir=self.data_dir,
             training=training,
-            input_size=self.input_size,
+            map_val=map_val,
+            input_size=self.input_size if training else self.test_size,
             max_labels=self.max_labels,
             flip_prob=self.flip_prob if training else 0.0,
             **self.get_slice_args(),
         )
 
-    def get_data_loader(self, batch_size: int, training: bool = True, seed: int = 0):
+    def get_data_loader(
+        self, batch_size: int, training: bool = True, map_val: bool = False,
+        seed: int = 0,
+    ):
         from ..data import EventDataLoader
 
-        dataset = self.get_dataset(training=training)
+        import jax
+
+        dataset = self.get_dataset(training=training, map_val=map_val)
         return EventDataLoader(
             dataset,
             batch_size=batch_size,
@@ -164,6 +173,8 @@ class EventExp(BaseExp):
             infinite=training,
             num_workers=self.data_num_workers,
             seed=self.seed or seed,
+            rank=jax.process_index(),
+            world_size=jax.process_count(),
         )
 
     def get_lr_schedule(self, batch_size: int, iters_per_epoch: int):
@@ -200,7 +211,7 @@ class EventExp(BaseExp):
         a gen* dataset (reference :509-545)."""
         from ..evaluators import EventEvaluator, PSEEEvaluator
 
-        loader = self.get_data_loader(batch_size, training=False)
+        loader = self.get_data_loader(batch_size, training=False, map_val=True)
         if "gen" in self.data_name and self.eval_proph:
             return PSEEEvaluator(
                 dataloader=loader,
@@ -208,7 +219,9 @@ class EventExp(BaseExp):
                 confthre=0.001,
                 nmsthre=self.nmsthre,
                 num_classes=self.num_classes,
-                downsample=(self.data_name == "gen4"),
+                camera="gen4" if "gen4" in self.data_name else "gen1",
+                # RVT frames are ds2 (rvt_gen4.py:56); protocol thresholds halve
+                downsampled_by_2=("rvt" in self.data_name.lower()),
             )
         return EventEvaluator(
             dataloader=loader,

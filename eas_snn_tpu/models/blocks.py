@@ -116,9 +116,37 @@ class BaseConv(nn.Module):
     groups: int = 1
     act: str = "silu"
     neuron: NeuronCfg = NeuronCfg.ann()
+    dtype: object = jnp.float32  # compute dtype (bf16 for MXU throughput)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = x.astype(self.dtype)
+        # Synaptic-op / MAC accounting for the energy estimator
+        # (reference: yolox/evaluators/event_evaluator.py:466-565 replays
+        # layers with all-ones weights via forward hooks; here the
+        # equivalent ones-kernel conv is sown into the 'sops' collection —
+        # dead code unless apply() makes 'sops' mutable, so it costs
+        # nothing in normal runs).
+        k, g = self.ksize, self.groups
+        in_ch = x.shape[-1]
+        # ones-kernel coverage conv: each |input| weighted by how many
+        # output windows tap it; × fan-out channels = exact synaptic ops
+        # (for depthwise g=in_ch the fan-out is 1, also exact)
+        ones_k = jnp.ones((k, k, in_ch, 1), x.dtype)
+        coverage = jax.lax.conv_general_dilated(
+            jnp.abs(x), ones_k, (self.stride, self.stride),
+            [((k - 1) // 2,) * 2] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        sops = coverage.sum() * (self.out_channels // g)
+        out_hw = coverage.shape[0] * coverage.shape[1] * coverage.shape[2]
+        macs = float(out_hw) * k * k * (in_ch // g) * self.out_channels
+        self.sow(
+            "sops", "ops",
+            jnp.stack([sops.astype(jnp.float32),
+                       jnp.asarray(macs, jnp.float32),
+                       jnp.asarray(float(self.neuron.spiking), jnp.float32)]),
+        )
         x = nn.Conv(
             self.out_channels,
             (self.ksize, self.ksize),
@@ -126,12 +154,14 @@ class BaseConv(nn.Module):
             padding=[( (self.ksize - 1) // 2,) * 2] * 2,
             feature_group_count=self.groups,
             use_bias=False,
+            dtype=self.dtype,
             name="conv",
         )(x)
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=0.97,
             epsilon=1e-3,
+            dtype=self.dtype,
             name="bn",
         )(x)
         return make_act(self.neuron, self.act)(x)
@@ -145,16 +175,17 @@ class DWConv(nn.Module):
     stride: int = 1
     act: str = "silu"
     neuron: NeuronCfg = NeuronCfg.ann()
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         in_ch = x.shape[-1]
         x = BaseConv(
             in_ch, self.ksize, self.stride, groups=in_ch, act=self.act,
-            neuron=self.neuron, name="dconv",
+            neuron=self.neuron, dtype=self.dtype, name="dconv",
         )(x, train)
         return BaseConv(
-            self.out_channels, 1, 1, act=self.act, neuron=self.neuron,
+            self.out_channels, 1, 1, act=self.act, neuron=self.neuron, dtype=self.dtype,
             name="pconv",
         )(x, train)
 
@@ -169,15 +200,16 @@ class Bottleneck(nn.Module):
     depthwise: bool = False
     act: str = "silu"
     neuron: NeuronCfg = NeuronCfg.ann()
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         hidden = int(self.out_channels * self.expansion)
-        y = BaseConv(hidden, 1, 1, act=self.act, neuron=self.neuron, name="conv1")(
+        y = BaseConv(hidden, 1, 1, act=self.act, neuron=self.neuron, dtype=self.dtype, name="conv1")(
             x, train
         )
         Conv = DWConv if self.depthwise else BaseConv
-        y = Conv(self.out_channels, 3, 1, act=self.act, neuron=self.neuron, name="conv2")(
+        y = Conv(self.out_channels, 3, 1, act=self.act, neuron=self.neuron, dtype=self.dtype, name="conv2")(
             y, train
         )
         if self.shortcut and x.shape[-1] == self.out_channels:
@@ -192,11 +224,12 @@ class SPPBottleneck(nn.Module):
     kernel_sizes: Tuple[int, ...] = (5, 9, 13)
     act: str = "silu"
     neuron: NeuronCfg = NeuronCfg.ann()
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         hidden = x.shape[-1] // 2
-        x = BaseConv(hidden, 1, 1, act=self.act, neuron=self.neuron, name="conv1")(
+        x = BaseConv(hidden, 1, 1, act=self.act, neuron=self.neuron, dtype=self.dtype, name="conv1")(
             x, train
         )
         pools = [
@@ -225,14 +258,15 @@ class CSPLayer(nn.Module):
     depthwise: bool = False
     act: str = "silu"
     neuron: NeuronCfg = NeuronCfg.ann()
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         hidden = int(self.out_channels * self.expansion)
-        x1 = BaseConv(hidden, 1, 1, act=self.act, neuron=self.neuron, name="conv1")(
+        x1 = BaseConv(hidden, 1, 1, act=self.act, neuron=self.neuron, dtype=self.dtype, name="conv1")(
             x, train
         )
-        x2 = BaseConv(hidden, 1, 1, act=self.act, neuron=self.neuron, name="conv2")(
+        x2 = BaseConv(hidden, 1, 1, act=self.act, neuron=self.neuron, dtype=self.dtype, name="conv2")(
             x, train
         )
         for i in range(self.n):
@@ -243,11 +277,12 @@ class CSPLayer(nn.Module):
                 depthwise=self.depthwise,
                 act=self.act,
                 neuron=self.neuron,
+                dtype=self.dtype,
                 name=f"m{i}",
             )(x1, train)
         x = jnp.concatenate([x1, x2], axis=-1)
         return BaseConv(
-            self.out_channels, 1, 1, act=self.act, neuron=self.neuron, name="conv3"
+            self.out_channels, 1, 1, act=self.act, neuron=self.neuron, dtype=self.dtype, name="conv3"
         )(x, train)
 
 
@@ -260,6 +295,7 @@ class Focus(nn.Module):
     stride: int = 1
     act: str = "silu"
     neuron: NeuronCfg = NeuronCfg.ann()
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -270,7 +306,7 @@ class Focus(nn.Module):
         x = jnp.concatenate([tl, bl, tr, br], axis=-1)
         return BaseConv(
             self.out_channels, self.ksize, self.stride, act=self.act,
-            neuron=self.neuron, name="conv",
+            neuron=self.neuron, dtype=self.dtype, name="conv",
         )(x, train)
 
 

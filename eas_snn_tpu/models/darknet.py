@@ -23,13 +23,14 @@ class CSPDarknet(nn.Module):
     depthwise: bool = False
     act: str = "silu"
     neuron: NeuronCfg = NeuronCfg.ann()
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> Dict[str, jnp.ndarray]:
         base_ch = int(self.wid_mul * 64)
         base_depth = max(round(self.dep_mul * 3), 1)
         Conv = DWConv if self.depthwise else BaseConv
-        kw = dict(act=self.act, neuron=self.neuron)
+        kw = dict(act=self.act, neuron=self.neuron, dtype=self.dtype)
 
         outputs = {}
         x = Focus(base_ch, ksize=3, name="stem", **kw)(x, train)

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.arsnn import arsnn_scan, gated_lif_update
+from ..ops.arsnn_pallas import arsnn_scan_fused
 from ..ops.lif import lif_step
 from ..ops.surrogate import get_spike_fn
 
@@ -223,9 +224,12 @@ class ARSNNEmbedding(nn.Module):
     vreset: Optional[float] = 0.0
     spike_fn: str = "rect"
     alpha: float = 1.0
+    # 'auto' -> fused Pallas step on TPU inference; 'always' | 'never'
+    use_pallas: str = "auto"
 
     @nn.compact
-    def __call__(self, events: jnp.ndarray, record: bool = False):
+    def __call__(self, events: jnp.ndarray, record: bool = False,
+                 train: bool = False):
         ev = _fold_time(events)
         C = self.out_channels
         input_conv = _conv_stack_fn(
@@ -236,10 +240,7 @@ class ARSNNEmbedding(nn.Module):
             self, "gate_conv", C, 2 * C, self.ksize, self.depth,
             _KAIMING_SIGMOID,
         )
-        return arsnn_scan(
-            ev,
-            input_conv,
-            gate_conv,
+        kw = dict(
             Ts=self.Ts,
             thresh=self.thresh,
             vreset=self.vreset,
@@ -248,8 +249,19 @@ class ARSNNEmbedding(nn.Module):
             spike_attach=self.spike_attach,
             write_zero=self.write_zero,
             use_abs=self.use_abs,
-            record=record,
         )
+        fused_ok = (
+            self.use_pallas == "always"
+            or (
+                self.use_pallas == "auto"
+                and not train
+                and not record
+                and jax.default_backend() == "tpu"
+            )
+        )
+        if fused_ok:
+            return arsnn_scan_fused(ev, input_conv, gate_conv, **kw)
+        return arsnn_scan(ev, input_conv, gate_conv, record=record, **kw)
 
 
 def build_embedding(

@@ -51,6 +51,7 @@ class YOLOXHead(nn.Module):
     act: str = "silu"
     depthwise: bool = False
     neuron: NeuronCfg = NeuronCfg.ann()   # spiking head convs (full_spike)
+    dtype: object = None                  # compute dtype (None -> float32)
     decode_input: bool = False            # rate-decode (T*B,...) inputs
     T: int = 1                            # time steps when decoding in/out
     prior_prob: float = 1e-2
@@ -63,7 +64,9 @@ class YOLOXHead(nn.Module):
     ) -> HeadOutput:
         Conv = DWConv if self.depthwise else BaseConv
         hidden = int(256 * self.width)
-        kw = dict(act=self.act, neuron=self.neuron)
+        import jax.numpy as _jnp
+        dt = self.dtype or _jnp.float32
+        kw = dict(act=self.act, neuron=self.neuron, dtype=dt)
 
         outputs = []
         origin_preds = []
@@ -77,16 +80,17 @@ class YOLOXHead(nn.Module):
             cls_feat = Conv(hidden, 3, 1, name=f"cls_conv{k}_1", **kw)(cls_feat, train)
             cls_out = nn.Conv(
                 self.num_classes, (1, 1), name=f"cls_pred{k}",
-                bias_init=_bias_init_prior(self.prior_prob),
-            )(cls_feat)
+                bias_init=_bias_init_prior(self.prior_prob), dtype=dt,
+            )(cls_feat).astype(jnp.float32)
 
             reg_feat = Conv(hidden, 3, 1, name=f"reg_conv{k}_0", **kw)(x, train)
             reg_feat = Conv(hidden, 3, 1, name=f"reg_conv{k}_1", **kw)(reg_feat, train)
-            reg_out = nn.Conv(4, (1, 1), name=f"reg_pred{k}")(reg_feat)
+            reg_out = nn.Conv(4, (1, 1), name=f"reg_pred{k}", dtype=dt)(
+                reg_feat).astype(jnp.float32)
             obj_out = nn.Conv(
                 1, (1, 1), name=f"obj_pred{k}",
-                bias_init=_bias_init_prior(self.prior_prob),
-            )(reg_feat)
+                bias_init=_bias_init_prior(self.prior_prob), dtype=dt,
+            )(reg_feat).astype(jnp.float32)
 
             if self.neuron.spiking:
                 # full-spike: rate-decode the predictions (:175-178)

@@ -36,6 +36,7 @@ class YOLOPAFPN(nn.Module):
     act: str = "silu"
     backbone_neuron: NeuronCfg = NeuronCfg.ann()
     neck_neuron: NeuronCfg = NeuronCfg.ann()
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
@@ -46,6 +47,7 @@ class YOLOPAFPN(nn.Module):
             depthwise=self.depthwise,
             act=self.act,
             neuron=self.backbone_neuron,
+            dtype=self.dtype,
             name="backbone",
         )(x, train)
         features = [feats[f] for f in self.in_features]
@@ -58,7 +60,7 @@ class YOLOPAFPN(nn.Module):
         c0, c1, c2 = (int(c * w) for c in self.in_channels)
         n = round(3 * self.depth)
         Conv = DWConv if self.depthwise else BaseConv
-        kw = dict(act=self.act, neuron=self.neck_neuron)
+        kw = dict(act=self.act, neuron=self.neck_neuron, dtype=self.dtype)
         csp_kw = dict(shortcut=False, depthwise=self.depthwise, **kw)
 
         fpn_out0 = BaseConv(c1, 1, 1, name="lateral_conv0", **kw)(x0, train)

@@ -57,6 +57,9 @@ class EASYOLOX(nn.Module):
     thresh: float = 1.0
     vreset: Optional[float] = 0.0
     decay: float = 0.5
+    # 'float32' | 'bfloat16' — conv/BN compute dtype for the backbone, neck
+    # and head (params and losses stay float32; bf16 feeds the MXU at 2x)
+    compute_dtype: str = "float32"
 
     def setup(self):
         assert self.use_spike in USE_SPIKE_MODES, self.use_spike
@@ -89,6 +92,9 @@ class EASYOLOX(nn.Module):
             vreset=self.vreset,
             decay=self.decay,
         )
+        import jax.numpy as jnp_
+
+        dt = jnp_.bfloat16 if self.compute_dtype == "bfloat16" else jnp_.float32
         self.backbone = YOLOPAFPN(
             depth=self.depth,
             width=self.width,
@@ -96,6 +102,7 @@ class EASYOLOX(nn.Module):
             act=self.act,
             backbone_neuron=bb_neuron,
             neck_neuron=neck_neuron,
+            dtype=dt,
         )
         # heads consume (T*B) features when the neck is spiking
         self.head = YOLOXHead(
@@ -104,6 +111,7 @@ class EASYOLOX(nn.Module):
             act=self.act,
             depthwise=self.depthwise,
             neuron=head_neuron,
+            dtype=dt,
             decode_input=(self.use_spike == "full"),
             T=self.T,
         )
@@ -128,7 +136,10 @@ class EASYOLOX(nn.Module):
         train: bool = False,
         use_l1: bool = False,
     ):
-        x = self.emb(events)
+        emb_kwargs = (
+            {"train": train} if self.embedding == "arsnn" else {}
+        )
+        x = self.emb(events, **emb_kwargs)
         if self.use_spike == "none":
             if x.ndim > 4:
                 x = x[0]  # keep first slice (reference yolox.py:39-40)

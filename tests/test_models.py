@@ -95,7 +95,7 @@ class TestDetectorVariants:
         leaves = jax.tree_util.tree_leaves(grads)
         assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
         # embedding must receive gradient (it is the paper's contribution)
-        emb_g = jax.tree_util.tree_leaves(grads["params"]["emb"])
+        emb_g = jax.tree_util.tree_leaves(grads["params"]["embedding"])
         assert sum(float(jnp.abs(g).sum()) for g in emb_g) > 0
 
 

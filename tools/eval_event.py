@@ -1,0 +1,107 @@
+#!/usr/bin/env python3
+"""Evaluation CLI.
+
+(reference: tools/eval_event.py:24-237 — same surface: exp by name/file,
+checkpoint path, ``--eval_proh`` for the Prophesee protocol, ``--speed`` for
+a forward-latency report, free-form overrides.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def make_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser("eas_snn_tpu eval")
+    parser.add_argument("-n", "--name", type=str, default=None)
+    parser.add_argument("-f", "--exp_file", type=str, default=None)
+    parser.add_argument("-b", "--batch-size", type=int, default=64)
+    parser.add_argument("-c", "--ckpt", type=str, default=None,
+                        help="checkpoint directory (orbax tree)")
+    parser.add_argument("--eval_proh", action="store_true",
+                        help="use the Prophesee +/-50ms protocol")
+    parser.add_argument("--speed", action="store_true",
+                        help="forward-latency benchmark only")
+    parser.add_argument("--energy", action="store_true",
+                        help="SOP/energy estimation report")
+    parser.add_argument("opts", nargs=argparse.REMAINDER, default=None)
+    return parser
+
+
+def main():
+    args = make_parser().parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from eas_snn_tpu.exp import get_exp
+    from eas_snn_tpu.utils import get_model_info, setup_logger
+
+    logger = setup_logger(None, 0)
+
+    exp = get_exp(args.exp_file, args.name)
+    if args.opts:
+        exp.merge(args.opts)
+    exp.eval_proph = args.eval_proh
+
+    model = exp.get_model()
+    h, w = exp.test_size
+    sample = jnp.zeros((1, exp.Tl, exp.Tm, h, w, exp.in_dim), jnp.float32)
+    rng = jax.random.PRNGKey(exp.seed or 0)
+    variables = model.init(rng, sample, train=False)
+    if args.ckpt:
+        import orbax.checkpoint as ocp
+
+        from eas_snn_tpu.core.checkpoint import load_partial_params
+
+        ckptr = ocp.StandardCheckpointer()
+        restored = ckptr.restore(os.path.abspath(args.ckpt))
+        params = restored.get("ema_params") or restored.get("params", restored)
+        variables = dict(variables)
+        variables["params"] = load_partial_params(variables["params"], params)
+        if "batch_stats" in restored:
+            variables["batch_stats"] = restored["batch_stats"]
+        logger.info(f"loaded checkpoint from {args.ckpt}")
+
+    logger.info(get_model_info(model, variables, sample))
+
+    fwd = jax.jit(lambda v, e: model.apply(v, e, train=False))
+
+    if args.energy:
+        from eas_snn_tpu.evaluators import estimate_energy
+
+        e = estimate_energy(model, variables, sample)
+        for k, v in e.items():
+            logger.info(f"{k}: {v:.6g}")
+        return
+
+    if args.speed:
+        ev = jnp.zeros((args.batch_size, exp.Tl, exp.Tm, h, w, exp.in_dim))
+        jax.block_until_ready(fwd(variables, ev))
+        t0 = time.perf_counter()
+        for _ in range(20):
+            out = fwd(variables, ev)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / 20
+        logger.info(
+            f"forward: {1000 * dt:.2f} ms/batch "
+            f"({args.batch_size / dt:.1f} img/s)"
+        )
+        return
+
+    evaluator = exp.get_evaluator(batch_size=args.batch_size)
+    ap, ap50, summary = evaluator.evaluate(
+        lambda frames: np.asarray(fwd(variables, jnp.asarray(frames)))
+    )
+    logger.info(f"\n{summary}")
+    logger.info(f"AP: {ap:.4f}, AP50: {ap50:.4f}")
+
+
+if __name__ == "__main__":
+    main()
