@@ -20,6 +20,7 @@ import numpy as np
 
 from ..utils.logger import setup_logger
 from ..utils.metric import MeterBuffer, hbm_usage_gb
+from ..utils.tracking import MetricsTracker
 from .checkpoint import CheckpointManager
 from .train_state import create_train_state, train_step
 
@@ -42,6 +43,7 @@ class Trainer:
         if self.rank == 0:
             os.makedirs(self.file_name, exist_ok=True)
         self.logger = setup_logger(self.file_name, self.rank)
+        self.tracker = MetricsTracker(self.file_name, enabled=(self.rank == 0))
         self.use_l1 = False
         self.no_aug = False
 
@@ -159,6 +161,7 @@ class Trainer:
                     **metrics,
                 )
                 self._log_iter(it)
+                self.tracker.log(int(self.state.step), metrics)
 
     def _log_iter(self, it):
         left_iters = (
@@ -211,6 +214,9 @@ class Trainer:
             f"epoch {self.epoch + 1} eval: AP={ap:.4f} AP50={ap50:.4f} "
             f"(best {self.best_ap:.4f})\n{summary}"
         )
+        self.tracker.log(
+            int(self.state.step), {"AP50_95": ap, "AP50": ap50}, split="val"
+        )
         self.save_ckpt(update_best)
 
     def save_ckpt(self, is_best: bool = False):
@@ -225,6 +231,7 @@ class Trainer:
         self.logger.info(
             f"training done, best AP: {self.best_ap:.4f}"
         )
+        self.tracker.close()
         if getattr(self.args, "grid_search", False):
             # grid-search CSV row (reference trainer.py:205-226)
             import csv

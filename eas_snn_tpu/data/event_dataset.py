@@ -25,6 +25,7 @@ Sample-name lookup is a precomputed dict — the reference's
 from __future__ import annotations
 
 import os
+import time
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -96,6 +97,8 @@ class EventDetDataset:
         )
         self.rng = np.random.default_rng(seed)
 
+        # cumulative per-stage latency profile (reference gen1.py:84)
+        self.profile = {"slicing_s": 0.0, "augment_s": 0.0, "count": 0}
         self.files: List[str] = []
         self.labels: List[List[LabelGroup]] = []
         self._load_index()
@@ -196,7 +199,9 @@ class EventDetDataset:
     def __getitem__(self, index: int):
         file_idx, group_idx = self.resolve_index(index)
         raw = self.raw_boxes(file_idx, group_idx)
+        t0 = time.perf_counter()
         frames = self.generate_slices(file_idx, group_idx)  # (Tl, ..., H, W, C)
+        t1 = time.perf_counter()
         multi_micro = frames.ndim > 4
         if multi_micro:
             Tl, Tm = frames.shape[:2]
@@ -221,6 +226,9 @@ class EventDetDataset:
 
         if multi_micro:
             frames = frames.reshape((Tl, Tm) + frames.shape[1:])
+        self.profile["slicing_s"] += t1 - t0
+        self.profile["augment_s"] += time.perf_counter() - t1
+        self.profile["count"] += 1
 
         sid = self.name_to_id[self.sample_name(file_idx, group_idx)]
         if self.map_val:

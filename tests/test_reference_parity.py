@@ -1,0 +1,216 @@
+"""Numeric parity against the actual reference implementation (torch CPU).
+
+The reference's ANN path (AdaptiveRSNNEmbedding + YOLOPAFPN + YOLOXHead) is
+pure torch — runnable here with loguru/torchvision stubbed — so we can
+import its randomly-initialized weights through the checkpoint translator
+and require elementwise agreement of the forward computation. This is the
+checkpoint-parity harness of SURVEY.md §7 stage 5.
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def ref_on_path():
+    # stub loguru + torchvision (absent in this env; only batched_nms uses
+    # torchvision and these tests never call it)
+    if "loguru" not in sys.modules:
+        fake = types.ModuleType("loguru")
+
+        class _L:
+            def __getattr__(self, k):
+                return lambda *a, **kw: None
+
+        fake.logger = _L()
+        sys.modules["loguru"] = fake
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv.ops = types.SimpleNamespace(batched_nms=None, nms=None)
+        sys.modules["torchvision"] = tv
+    if "spikingjelly" not in sys.modules:
+        # the reference package imports spikingjelly at module scope for its
+        # spiking variants; the ANN paths under test never touch it
+        sj = types.ModuleType("spikingjelly")
+        ab = types.ModuleType("spikingjelly.activation_based")
+
+        class _Any(types.ModuleType):
+            def __getattr__(self, k):
+                return type(k, (), {"__init__": lambda self, *a, **kw: None})
+
+        for name in ("neuron", "functional", "layer", "surrogate"):
+            mod = _Any(f"spikingjelly.activation_based.{name}")
+            setattr(ab, name, mod)
+            sys.modules[f"spikingjelly.activation_based.{name}"] = mod
+        sj.activation_based = ab
+        sys.modules["spikingjelly"] = sj
+        sys.modules["spikingjelly.activation_based"] = ab
+    sys.path.insert(0, REF)
+    yield
+    sys.path.remove(REF)
+
+
+def _torch_seed(s=0):
+    torch.manual_seed(s)
+
+
+class TestEmbeddingParity:
+    @pytest.mark.parametrize("readout", ["sum", "last"])
+    @pytest.mark.parametrize("vreset", [None, 0.0])
+    def test_arsnn_matches_reference(self, readout, vreset):
+        import jax
+        import jax.numpy as jnp
+
+        from yolox.models.activation import Rectangle
+        from yolox.models.embedding import AdaptiveRSNNEmbedding
+
+        from eas_snn_tpu.models.embedding import ARSNNEmbedding
+        from eas_snn_tpu.utils.torch_import import translate_torch_checkpoint
+
+        Tm, B, H, W = 4, 2, 12, 16
+        Ts = 2
+        _torch_seed(0)
+        ref = AdaptiveRSNNEmbedding(
+            kernel_size=3, Ts=Ts, depth=2, readout=readout,
+            write_zero=True, spike_attach=True,
+            nb_steps=Tm, thresh=1.0, vreset=vreset, spike_fn=Rectangle,
+        ).eval()
+
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=(B, 1, Tm, 2, H, W)).astype(np.float32) * 2.0
+
+        with torch.no_grad():
+            ref_out = ref(torch.from_numpy(x)).numpy()  # (Ts, B, 2, H, W)
+
+        ours = ARSNNEmbedding(
+            ksize=3, depth=2, Ts=Ts, readout=readout,
+            spike_attach=True, write_zero=True, thresh=1.0, vreset=vreset,
+            spike_fn="rect", alpha=1.0,
+        )
+        xl = jnp.asarray(np.moveaxis(x, 3, -1))  # channel-last
+        variables = ours.init(jax.random.PRNGKey(0), xl)
+        sd = {
+            "embedding." + k: v.detach().numpy()
+            for k, v in ref.state_dict().items()
+        }
+        variables2, report = translate_torch_checkpoint(
+            {"params": None} and sd, {"params": {"embedding": variables["params"]}}
+        )
+        assert report["unmapped"] == 0, report
+        out = ours.apply(
+            {"params": variables2["params"]["embedding"]}, xl
+        )
+        out_cf = np.moveaxis(np.asarray(out), -1, 2)  # -> (Ts, B, 2, H, W)
+        np.testing.assert_allclose(out_cf, ref_out, rtol=1e-4, atol=1e-4)
+
+    def test_lif_embedding_matches_reference(self):
+        import jax
+        import jax.numpy as jnp
+
+        from yolox.models.activation import Rectangle
+        from yolox.models.embedding import LIFEmbedding as RefLIF
+
+        from eas_snn_tpu.models.embedding import LIFEmbedding, logit_decay
+        from eas_snn_tpu.utils.torch_import import translate_torch_checkpoint
+
+        Tm, B, H, W = 4, 2, 10, 12
+        _torch_seed(1)
+        ref = RefLIF(
+            kernel_size=3, readout="sum",
+            nb_steps=Tm, thresh=1.0, vreset=None, spike_fn=Rectangle,
+            decay=torch.nn.Parameter(torch.tensor(0.9)),
+        ).eval()
+
+        rng = np.random.default_rng(2)
+        x = rng.normal(size=(B, 1, Tm, 2, H, W)).astype(np.float32) * 2.0
+        with torch.no_grad():
+            ref_out = ref(torch.from_numpy(x)).numpy()
+
+        ours = LIFEmbedding(
+            ksize=3, readout="sum", thresh=1.0, vreset=None,
+            spike_fn="rect", alpha=1.0,
+        )
+        xl = jnp.asarray(np.moveaxis(x, 3, -1))
+        variables = ours.init(jax.random.PRNGKey(0), xl)
+        sd = {
+            "embedding." + k: v.detach().numpy()
+            for k, v in ref.state_dict().items()
+            if "decay" not in k
+        }
+        variables2, report = translate_torch_checkpoint(
+            sd, {"params": {"embedding": variables["params"]}}
+        )
+        assert report["unmapped"] == 0, report
+        # the reference stores raw decay; ours stores the logit of the
+        # effective sigmoid decay — the reference applies sigmoid(decay)
+        # directly, so decays agree when our logit equals the raw value
+        p = dict(variables2["params"]["embedding"])
+        p["decay"] = jnp.asarray(0.9, jnp.float32)
+        out = ours.apply({"params": p}, xl)
+        out_cf = np.moveaxis(np.asarray(out), -1, 1)  # (B, C, H, W)
+        np.testing.assert_allclose(out_cf, ref_out, rtol=1e-4, atol=1e-4)
+
+
+class TestFullModelParity:
+    def test_ann_yolox_eval_outputs(self):
+        import jax
+        import jax.numpy as jnp
+
+        from yolox.models.darknet import CSPDarknet  # noqa: F401 (import chain)
+        from yolox.models.yolo_pafpn import YOLOPAFPN as RefPAFPN
+        from yolox.models.yolo_head import YOLOXHead as RefHead
+
+        from eas_snn_tpu.models import YOLOPAFPN, YOLOXHead
+        from eas_snn_tpu.models.blocks import NeuronCfg
+        from eas_snn_tpu.utils.torch_import import (
+            load_torch_state_dict,
+            translate_torch_checkpoint,
+        )
+        from flax import linen as nn
+
+        depth, width = 0.33, 0.25
+        num_classes = 2
+        B, H, W = 1, 64, 64
+        _torch_seed(3)
+        ref_back = RefPAFPN(depth, width, in_dim=2).eval()
+        ref_head = RefHead(num_classes, width).eval()
+
+        x = np.random.default_rng(3).normal(size=(B, 2, H, W)).astype(np.float32)
+
+        with torch.no_grad():
+            feats = ref_back(torch.from_numpy(x))
+            ref_out = ref_head(list(feats)).numpy()  # (B, A, 5+C) decoded
+
+        class Det(nn.Module):
+            @nn.compact
+            def __call__(self, x, train=False):
+                f = YOLOPAFPN(
+                    depth=depth, width=width, name="backbone"
+                )(x, train)
+                return YOLOXHead(
+                    num_classes=num_classes, width=width, name="head"
+                )(f, train)
+
+        ours = Det()
+        xl = jnp.asarray(np.moveaxis(x, 1, -1))
+        variables = ours.init(jax.random.PRNGKey(0), xl)
+
+        sd = {}
+        for k, v in ref_back.state_dict().items():
+            sd["backbone." + k] = v.detach().numpy()
+        for k, v in ref_head.state_dict().items():
+            sd["head." + k] = v.detach().numpy()
+        variables2, report = translate_torch_checkpoint(sd, variables)
+        assert report["unmapped"] == 0, report
+
+        out = ours.apply(variables2, xl)
+        np.testing.assert_allclose(
+            np.asarray(out.outputs), ref_out, rtol=1e-3, atol=1e-3
+        )

@@ -1,0 +1,104 @@
+"""Torch-checkpoint importer: name mapping + layout transforms land on the
+right leaves of the Flax tree."""
+
+import numpy as np
+import pytest
+
+
+def test_translate_representative_leaves():
+    import jax
+    import jax.numpy as jnp
+
+    from eas_snn_tpu.models import EASYOLOX
+    from eas_snn_tpu.utils.torch_import import translate_torch_checkpoint
+
+    m = EASYOLOX(
+        num_classes=2, depth=0.33, width=0.125, use_spike="none",
+        embedding="arsnn", embedding_ksize=3, embedding_depth=2, Ts=2,
+    )
+    ev = jnp.zeros((1, 1, 2, 64, 64, 2))
+    variables = m.init(jax.random.PRNGKey(0), ev)
+    p = variables["params"]
+
+    def oihw(hwio):
+        return np.asarray(hwio).transpose(3, 2, 0, 1)
+
+    rng = np.random.default_rng(0)
+
+    def like(x):
+        return rng.normal(size=np.asarray(x).shape).astype(np.float32)
+
+    stem_k = like(p["backbone"]["backbone"]["stem"]["conv"]["conv"]["kernel"])
+    d2_k = like(p["backbone"]["backbone"]["dark2_conv"]["conv"]["kernel"])
+    csp_m0 = like(
+        p["backbone"]["backbone"]["dark2_csp"]["m0"]["conv1"]["conv"]["kernel"]
+    )
+    lat_k = like(p["backbone"]["lateral_conv0"]["conv"]["kernel"])
+    stem0_k = like(p["head"]["stem0"]["conv"]["kernel"])
+    clsc_k = like(p["head"]["cls_conv1_0"]["conv"]["kernel"])
+    clsp_k = like(p["head"]["cls_pred2"]["kernel"])
+    clsp_b = like(p["head"]["cls_pred2"]["bias"])
+    emb_k0 = like(p["embedding"]["input_conv_kernel0"])
+    emb_k1 = like(p["embedding"]["input_conv_kernel1"])
+    bn_scale = like(
+        p["backbone"]["backbone"]["stem"]["conv"]["bn"]["scale"]
+    )
+    bn_mean = like(
+        variables["batch_stats"]["backbone"]["backbone"]["stem"]["conv"]["bn"]["mean"]
+    )
+
+    sd = {
+        # DDP prefix handled upstream; container tokens stripped
+        "backbone.backbone.stem.conv.conv.weight": oihw(stem_k),
+        "backbone.backbone.stem.conv.bn.weight": bn_scale,
+        "backbone.backbone.stem.conv.bn.running_mean": bn_mean,
+        "backbone.backbone.stem.conv.bn.num_batches_tracked": np.asarray(3),
+        "backbone.backbone.dark2.0.conv.weight": oihw(d2_k),
+        "backbone.backbone.dark2.1.m.0.conv1.conv.weight": oihw(csp_m0),
+        "backbone.lateral_conv0.conv.weight": oihw(lat_k),
+        "head.stems.0.conv.weight": oihw(stem0_k),
+        "head.cls_convs.1.0.conv.weight": oihw(clsc_k),
+        "head.cls_preds.2.weight": oihw(clsp_k),
+        "head.cls_preds.2.bias": clsp_b,
+        # embedding sequential: conv at 0, ReLU at 1, conv at 2
+        "embedding.input_conv.0.weight": oihw(emb_k0),
+        "embedding.input_conv.2.weight": oihw(emb_k1),
+    }
+    new_vars, report = translate_torch_checkpoint(sd, variables)
+    assert report["unmapped"] == 0, report
+    assert report["skipped"] == 1  # num_batches_tracked
+    q = new_vars["params"]
+    np.testing.assert_allclose(
+        q["backbone"]["backbone"]["stem"]["conv"]["conv"]["kernel"], stem_k
+    )
+    np.testing.assert_allclose(
+        q["backbone"]["backbone"]["dark2_csp"]["m0"]["conv1"]["conv"]["kernel"],
+        csp_m0,
+    )
+    np.testing.assert_allclose(q["head"]["cls_pred2"]["kernel"], clsp_k)
+    np.testing.assert_allclose(q["head"]["cls_pred2"]["bias"], clsp_b)
+    np.testing.assert_allclose(q["embedding"]["input_conv_kernel0"], emb_k0)
+    np.testing.assert_allclose(q["embedding"]["input_conv_kernel1"], emb_k1)
+    np.testing.assert_allclose(
+        new_vars["batch_stats"]["backbone"]["backbone"]["stem"]["conv"]["bn"]["mean"],
+        bn_mean,
+    )
+    np.testing.assert_allclose(
+        q["backbone"]["backbone"]["stem"]["conv"]["bn"]["scale"], bn_scale
+    )
+
+
+def test_load_torch_pth_roundtrip(tmp_path):
+    torch = pytest.importorskip("torch")
+
+    from eas_snn_tpu.utils.torch_import import load_torch_state_dict
+
+    sd = {
+        "module.backbone.lateral_conv0.conv.weight": torch.ones(4, 2, 1, 1),
+        "head.stems.0.conv.weight": torch.zeros(3, 3, 1, 1),
+    }
+    path = str(tmp_path / "ckpt.pth")
+    torch.save({"model": sd, "start_epoch": 5}, path)
+    out = load_torch_state_dict(path)
+    assert "backbone.lateral_conv0.conv.weight" in out
+    assert out["backbone.lateral_conv0.conv.weight"].shape == (4, 2, 1, 1)
