@@ -113,6 +113,18 @@ class Trainer:
 
         self.evaluator = None
         self._pending = None
+        self._bin = None
+        if getattr(exp, "device_binning", False):
+            from functools import partial
+
+            from ..data.reps import bin_event_batch
+
+            h, w = exp.input_size
+            self._bin = jax.jit(
+                partial(
+                    bin_event_batch, n_bins=exp.Tm, height=h, width=w
+                )
+            )
         self.logger.info(
             f"devices: {jax.device_count()} "
             f"({jax.local_device_count()} local), mesh: {self.mesh}"
@@ -123,6 +135,16 @@ class Trainer:
         import jax
         import jax.numpy as jnp
 
+        if isinstance(frames, tuple):  # raw-events mode: bin on device
+            parts = [
+                jax.device_put(jnp.asarray(a), self.batch_sharding)
+                for a in frames
+            ]
+            events = self._bin(*parts)  # (B, Tl, Tm, H, W, 2)
+            return (
+                events,
+                jax.device_put(jnp.asarray(labels), self.batch_sharding),
+            )
         return (
             jax.device_put(jnp.asarray(frames), self.batch_sharding),
             jax.device_put(jnp.asarray(labels), self.batch_sharding),

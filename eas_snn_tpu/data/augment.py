@@ -24,6 +24,8 @@ import cv2
 import numpy as np
 
 __all__ = [
+    "sample_affine",
+    "apply_affine_to_boxes",
     "resize_frames",
     "letterbox",
     "random_resize_place_flip",
@@ -31,6 +33,58 @@ __all__ = [
     "TrainTransform",
     "ValTransform",
 ]
+
+
+def sample_affine(
+    img_size: Tuple[int, int],
+    input_size: Tuple[int, int],
+    rng: np.random.Generator,
+    training: bool = True,
+    jitter: float = 0.3,
+    scale_range: Tuple[float, float] = (0.4, 1.0),
+    flip_prob: float = 0.5,
+):
+    """Draw the same geometric transform as random_resize_place_flip /
+    letterbox, but as an explicit affine (sx, sy, dx, dy, flip) so it can be
+    applied to raw event coordinates (event-space augmentation for the
+    on-device binning path) as well as to boxes."""
+    ih, iw = img_size
+    h, w = input_size
+    if not training:
+        scale = min(w / iw, h / ih)
+        return dict(sx=scale, sy=scale, dx=0.0, dy=0.0, flip=False)
+    new_ar = (
+        iw / ih
+        * rng.uniform(1 - jitter, 1 + jitter)
+        / rng.uniform(1 - jitter, 1 + jitter)
+    )
+    scale = rng.uniform(*scale_range)
+    if new_ar < 1:
+        nh = int(scale * h)
+        nw = int(nh * new_ar)
+    else:
+        nw = int(scale * w)
+        nh = int(nw / new_ar)
+    nw, nh = max(nw, 1), max(nh, 1)
+    dx = int(rng.uniform(0, max(w - nw, 1)))
+    dy = int(rng.uniform(0, max(h - nh, 1)))
+    flip = bool(rng.uniform() < flip_prob)
+    return dict(sx=nw / iw, sy=nh / ih, dx=float(dx), dy=float(dy), flip=flip)
+
+
+def apply_affine_to_boxes(
+    boxes: np.ndarray, affine: dict, input_size: Tuple[int, int]
+) -> np.ndarray:
+    """xyxy+cls boxes through the affine, clipped, degenerate dropped."""
+    h, w = input_size
+    box = np.asarray(boxes, np.float32).reshape(-1, boxes.shape[-1]).copy()
+    if len(box) == 0:
+        return box
+    box[:, [0, 2]] = box[:, [0, 2]] * affine["sx"] + affine["dx"]
+    box[:, [1, 3]] = box[:, [1, 3]] * affine["sy"] + affine["dy"]
+    if affine["flip"]:
+        box[:, [0, 2]] = w - box[:, [2, 0]]
+    return _clip_filter_boxes(box, w, h)
 
 
 def xyxy2cxcywh_np(b: np.ndarray) -> np.ndarray:

@@ -74,6 +74,8 @@ class EventDetDataset:
         flip_prob: float = 0.5,
         jitter: float = 0.3,
         letterbox_val: bool = True,
+        raw_events: bool = False,
+        max_events_per_slice: int = 131072,
         seed: int = 0,
         class_names: Sequence[str] = (),
     ):
@@ -91,6 +93,8 @@ class EventDetDataset:
         self.flip_prob = flip_prob
         self.jitter = jitter
         self.letterbox_val = letterbox_val
+        self.raw_events = raw_events
+        self.max_events_per_slice = max_events_per_slice
         self.class_names = tuple(class_names)
         self.target_transform = (
             TrainTransform(max_labels) if not map_val else ValTransform()
@@ -196,7 +200,70 @@ class EventDetDataset:
         """(N, 5) [x1, y1, x2, y2, cls] at raw sensor resolution."""
         return self.labels[file_idx][group_idx][1].astype(np.float32).copy()
 
+    def getitem_raw(self, index: int):
+        """On-device-binning sample: instead of dense frame stacks, emit
+        per-slice padded event arrays with precomputed micro-bin indices —
+        the host ships ~5 small int arrays and the trainer scatter-adds
+        them into (Tl, Tm, H, W, 2) on device (SURVEY.md §7 hard part 5).
+
+        Augmentation happens in *event coordinate space* via the same
+        affine the frame path uses (nearest-pixel assignment instead of a
+        bilinear frame resize — exact when scale == 1, crisper otherwise).
+        Returns ((b, x, y, p, valid) each (Tl, N), labels, img_size, sid).
+        """
+        from .augment import apply_affine_to_boxes, sample_affine
+
+        file_idx, group_idx = self.resolve_index(index)
+        raw = self.raw_boxes(file_idx, group_idx)
+        affine = sample_affine(
+            self.img_size, self.input_size, self.rng,
+            training=self.training, jitter=self.jitter,
+            flip_prob=self.flip_prob,
+        )
+        h, w = self.input_size
+        Tl, Tm, N = self.num_slice, self.micro_slice, self.max_events_per_slice
+        timestamp = int(self.labels[file_idx][group_idx][0])
+        w0, w1 = self.window
+        span = w1 - w0
+
+        bb = np.zeros((Tl, N), np.int32)
+        xx = np.zeros((Tl, N), np.int32)
+        yy = np.zeros((Tl, N), np.int32)
+        pp = np.zeros((Tl, N), np.int32)
+        vv = np.zeros((Tl, N), bool)
+        for s, k in enumerate(range(-Tl + 1, 1)):
+            ev = self.search_events(file_idx, timestamp + k * span)
+            if len(ev) == 0:
+                continue
+            if len(ev) > N:
+                ev = ev[len(ev) - N:]
+            n = len(ev)
+            t_rel = ev["t"].astype(np.int64) - int(ev["t"][0])
+            tw = max(int(t_rel[-1]) // Tm, 1)
+            b = (t_rel // tw).astype(np.int32)
+            inside_t = b < Tm
+            ex = ev["x"].astype(np.float64) * affine["sx"] + affine["dx"]
+            ey = ev["y"].astype(np.float64) * affine["sy"] + affine["dy"]
+            if affine["flip"]:
+                ex = w - 1 - ex
+            ix = np.floor(ex).astype(np.int32)
+            iy = np.floor(ey).astype(np.int32)
+            ok = inside_t & (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
+            bb[s, :n] = np.clip(b, 0, Tm - 1)
+            xx[s, :n] = np.clip(ix, 0, w - 1)
+            yy[s, :n] = np.clip(iy, 0, h - 1)
+            pp[s, :n] = ev["p"]
+            vv[s, :n] = ok
+
+        boxes = apply_affine_to_boxes(raw, affine, self.input_size)
+        cxcywh = xyxy2cxcywh_np(boxes) if len(boxes) else boxes
+        _, padded = self.target_transform(None, cxcywh, self.input_size)
+        sid = self.name_to_id[self.sample_name(file_idx, group_idx)]
+        return (bb, xx, yy, pp, vv), padded, self.img_size, sid
+
     def __getitem__(self, index: int):
+        if self.raw_events:
+            return self.getitem_raw(index)
         file_idx, group_idx = self.resolve_index(index)
         raw = self.raw_boxes(file_idx, group_idx)
         t0 = time.perf_counter()

@@ -82,8 +82,16 @@ class SequentialSampler:
 
 
 def collate_event_batch(samples: Sequence, stack_labels: bool):
-    """samples: list of (frames, labels, img_size, sample_id)."""
-    frames = np.stack([s[0] for s in samples]).astype(np.float32)
+    """samples: list of (frames, labels, img_size, sample_id); ``frames``
+    may also be a tuple of per-slice event arrays (raw-events mode), which
+    are stacked component-wise to (B, Tl, N)."""
+    if isinstance(samples[0][0], tuple):
+        frames = tuple(
+            np.stack([s[0][i] for s in samples])
+            for i in range(len(samples[0][0]))
+        )
+    else:
+        frames = np.stack([s[0] for s in samples]).astype(np.float32)
     img_sizes = np.array([s[2] for s in samples])
     ids = np.array([s[3] for s in samples])
     if stack_labels:

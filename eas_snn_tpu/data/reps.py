@@ -29,6 +29,8 @@ __all__ = [
     "timesurface",
     "pad_events",
     "bin_events_device",
+    "bin_indexed_events_device",
+    "bin_event_batch",
 ]
 
 
@@ -252,3 +254,41 @@ def bin_events_device(
     flat = jnp.where(inside, flat, size)  # dead slot
     hist = jnp.zeros((size + 1,), jnp.float32).at[flat].add(1.0)
     return hist[:size].reshape(n_bins, height, width, 2)
+
+
+def bin_indexed_events_device(b, x, y, p, valid, *, n_bins: int, height: int, width: int):
+    """Jittable scatter-add of host-pre-indexed events: (N,) int arrays with
+    precomputed micro-bin index ``b`` -> (n_bins, H, W, 2) float32.
+
+    The training-path device-binning op (SURVEY.md §7 hard part 5): the
+    host ships ~5 int16/32 arrays per slice instead of dense frame stacks
+    (~100x less PCIe/relay traffic at Gen1 resolution), and the binning is
+    one fused XLA scatter on device.
+    """
+    import jax.numpy as jnp
+
+    b = jnp.asarray(b)
+    flat = (
+        b * (height * width * 2)
+        + jnp.asarray(y) * (width * 2)
+        + jnp.asarray(x) * 2
+        + (jnp.asarray(p) & 1)
+    )
+    size = n_bins * height * width * 2
+    flat = jnp.where(jnp.asarray(valid), flat, size)
+    hist = jnp.zeros((size + 1,), jnp.float32).at[flat].add(1.0)
+    return hist[:size].reshape(n_bins, height, width, 2)
+
+
+def bin_event_batch(b, x, y, p, valid, *, n_bins: int, height: int, width: int):
+    """(B, Tl, N) indexed events -> (B, Tl, n_bins, H, W, 2), fully vmapped.
+
+    Wrap in jax.jit at the call site (the trainer does) so binning + the
+    train step form back-to-back device programs with no host bounce.
+    """
+    import jax
+
+    fn = lambda bb, xx, yy, pp, vv: bin_indexed_events_device(
+        bb, xx, yy, pp, vv, n_bins=n_bins, height=height, width=width
+    )
+    return jax.vmap(jax.vmap(fn))(b, x, y, p, valid)

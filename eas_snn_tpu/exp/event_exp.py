@@ -75,6 +75,10 @@ class EventExp(BaseExp):
         self.data_dir = None
         self.flip_prob = 0.5
         self.max_labels = 50
+        # ship raw padded event arrays and bin on device (one fused XLA
+        # scatter) instead of dense frame stacks from workers
+        self.device_binning = False
+        self.max_events_per_slice = 131072
         # ---------------- training config (reference :101-133) -----------
         self.warmup_epochs = 0
         self.max_epoch = 300
@@ -154,6 +158,8 @@ class EventExp(BaseExp):
             input_size=self.input_size if training else self.test_size,
             max_labels=self.max_labels,
             flip_prob=self.flip_prob if training else 0.0,
+            raw_events=self.device_binning and training,
+            max_events_per_slice=self.max_events_per_slice,
             **self.get_slice_args(),
         )
 

@@ -36,6 +36,10 @@ def make_parser() -> argparse.ArgumentParser:
 def main():
     args = make_parser().parse_args()
 
+    from eas_snn_tpu.utils.jax_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     import jax
     import jax.numpy as jnp
     import numpy as np

@@ -45,6 +45,10 @@ def make_parser() -> argparse.ArgumentParser:
 def main():
     args = make_parser().parse_args()
 
+    from eas_snn_tpu.utils.jax_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from eas_snn_tpu.exp import get_exp
     from eas_snn_tpu.parallel import initialize_distributed
 
