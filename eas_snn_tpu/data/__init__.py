@@ -12,6 +12,8 @@ from .augment import (
     resize_frames,
 )
 from .cache import SampleCache
+from .coco import COCODataset, VOCDataset, VOC_CLASSES
+from .mosaic import MosaicDataset, random_affine
 from .event_dataset import EventDetDataset
 from .gen1 import GEN1_CLASSES, Gen1Dataset
 from .gen4 import GEN4_CLASSES, Gen4Dataset, RVTGen4Dataset
@@ -51,6 +53,8 @@ __all__ = [  # noqa: F405
     "EventDetDataset", "Gen1Dataset", "Gen4Dataset", "RVTGen4Dataset",
     "NCaltechDataset", "GEN1_CLASSES", "GEN4_CLASSES",
     # loaders
+    "COCODataset", "VOCDataset", "VOC_CLASSES", "MosaicDataset",
+    "random_affine",
     "EventDataLoader", "InfiniteSampler", "SequentialSampler",
     "collate_event_batch", "SampleCache",
     # io

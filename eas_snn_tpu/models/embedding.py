@@ -224,8 +224,11 @@ class ARSNNEmbedding(nn.Module):
     vreset: Optional[float] = 0.0
     spike_fn: str = "rect"
     alpha: float = 1.0
-    # 'auto' -> fused Pallas step on TPU inference; 'always' | 'never'
-    use_pallas: str = "auto"
+    # 'never' (default) | 'always' | 'auto'. Honest forced-materialization
+    # profiling on the v5e shows XLA's own scan fusion beating the per-step
+    # Pallas kernel (~13 vs ~49 ms device time for the Gen1-M embedding), so
+    # the fused kernel stays opt-in until the whole-scan-resident redesign.
+    use_pallas: str = "never"
 
     @nn.compact
     def __call__(self, events: jnp.ndarray, record: bool = False,

@@ -165,14 +165,16 @@ def translate_torch_checkpoint(
             report["skipped"] += 1
             continue
 
-        # embedding sequential convs: embedding.input_conv.<S>.{weight,bias}
-        # and the tdLayer-wrapped LIF stack embedding.embedding_conv.layer.<S>
+        # embedding sequential convs: embedding.input_conv.<S>.{weight,bias};
+        # tdLayer-wrapped stacks add a 'layer' token
+        # (embedding.embedding_conv.layer.<S>, embedding.input_conv.layer.<S>)
         if (
             len(path) >= 4 and path[0] == "embedding"
-            and path[1] == "embedding_conv" and path[2] == "layer"
-            and path[3].isdigit()
+            and path[2] == "layer" and path[3].isdigit()
+            and path[1] in ("embedding_conv", "input_conv", "gate_conv", "agg_conv")
         ):
-            path = ("embedding", "conv", path[3])
+            name = "conv" if path[1] == "embedding_conv" else path[1]
+            path = ("embedding", name, path[3])
         if len(path) >= 3 and path[0] == "embedding" and path[1] in (
             "input_conv", "gate_conv", "agg_conv", "conv"
         ) and path[2].isdigit():

@@ -214,3 +214,49 @@ class TestFullModelParity:
         np.testing.assert_allclose(
             np.asarray(out.outputs), ref_out, rtol=1e-3, atol=1e-3
         )
+
+
+class TestRSNNParity:
+    @pytest.mark.parametrize("readout,relu", [("sum", False), ("last", True)])
+    def test_rsnn_matches_reference(self, readout, relu):
+        import jax
+        import jax.numpy as jnp
+
+        from yolox.models.activation import Rectangle
+        from yolox.models.embedding import SpikingEmbedding
+
+        from eas_snn_tpu.models.embedding import RSNNEmbedding
+        from eas_snn_tpu.utils.torch_import import translate_torch_checkpoint
+
+        Tm, B, H, W = 4, 2, 10, 14
+        _torch_seed(5)
+        ref = SpikingEmbedding(
+            kernel_size=3, readout=readout, relu=relu, depth=2,
+            nb_steps=Tm, thresh=1.0, vreset=None, spike_fn=Rectangle,
+        ).eval()
+        rng = np.random.default_rng(6)
+        x = rng.normal(size=(B, 1, Tm, 2, H, W)).astype(np.float32) * 2.0
+        with torch.no_grad():
+            ref_out = ref(torch.from_numpy(x)).numpy()
+        if ref_out.ndim == 5:
+            # 'last' readout re-inserts the (Tl, B) macro axes
+            # (embedding.py:304-306); Tl == 1 here
+            ref_out = ref_out.reshape(ref_out.shape[1:])
+
+        ours = RSNNEmbedding(
+            ksize=3, depth=2, readout=readout, use_relu=relu,
+            thresh=1.0, vreset=None, spike_fn="rect", alpha=1.0,
+        )
+        xl = jnp.asarray(np.moveaxis(x, 3, -1))
+        variables = ours.init(jax.random.PRNGKey(0), xl)
+        sd = {
+            "embedding." + k: v.detach().numpy()
+            for k, v in ref.state_dict().items()
+        }
+        v2, report = translate_torch_checkpoint(
+            sd, {"params": {"embedding": variables["params"]}}
+        )
+        assert report["unmapped"] == 0, report
+        out = ours.apply({"params": v2["params"]["embedding"]}, xl)
+        out_cf = np.moveaxis(np.asarray(out), -1, 1)
+        np.testing.assert_allclose(out_cf, ref_out, rtol=1e-4, atol=1e-4)
