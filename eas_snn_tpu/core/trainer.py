@@ -112,7 +112,6 @@ class Trainer:
             )
 
         self.evaluator = None
-        self._pending = None
         self._bin = None
         if getattr(exp, "device_binning", False):
             from functools import partial

@@ -171,4 +171,9 @@ class EventDataLoader:
                 submit_next()
                 yield collate_event_batch(samples, self.stack_labels)
         finally:
-            pool.shutdown(wait=False, cancel_futures=True)
+            try:
+                pool.shutdown(wait=False, cancel_futures=True)
+            except Exception:
+                # interpreter teardown may have GC'd executor internals when
+                # a generator is finalized at exit; nothing left to release
+                pass

@@ -23,3 +23,4 @@ from .head import HeadOutput, YOLOXHead
 from .pafpn import YOLOPAFPN, rate_decode
 from .simota import YoloxLossOutput, simota_assign, yolox_losses
 from .yolox import EASYOLOX, USE_SPIKE_MODES
+from .build import MODEL_SPECS, create_model, load_weights

@@ -1,0 +1,90 @@
+"""Model zoo: build named models, optionally loading local checkpoints.
+
+(reference: yolox/models/build.py:36-111 create_yolox_model + per-size
+helpers — the reference downloads torch checkpoints from GitHub; this
+environment has no egress, so weights load from local paths: either our
+Orbax trees or reference ``.pth`` files through the torch importer.)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+__all__ = ["MODEL_SPECS", "create_model", "load_weights"]
+
+# name -> (depth, width, kwargs)
+MODEL_SPECS: Dict[str, Tuple[float, float, Dict[str, Any]]] = {
+    "yolox-s": (0.33, 0.50, dict(use_spike="none", embedding="count", num_classes=80)),
+    "yolox-m": (0.67, 0.75, dict(use_spike="none", embedding="count", num_classes=80)),
+    "yolox-l": (1.00, 1.00, dict(use_spike="none", embedding="count", num_classes=80)),
+    "syolox-s-gen1": (
+        0.33, 0.50,
+        dict(use_spike="backbone", embedding="arsnn", embedding_depth=2,
+             embedding_ksize=5, Ts=3, T=3, readout="sum", write_zero=True,
+             vreset=None, spike_fn="atan", num_classes=2),
+    ),
+    "syolox-m-gen1": (
+        0.67, 0.75,
+        dict(use_spike="backbone", embedding="arsnn", embedding_depth=2,
+             embedding_ksize=5, Ts=3, T=3, readout="sum", write_zero=True,
+             vreset=None, spike_fn="atan", num_classes=2),
+    ),
+    "syolox-m-ncaltech": (
+        0.67, 0.75,
+        dict(use_spike="backbone", embedding="arsnn", embedding_depth=2,
+             embedding_ksize=5, Ts=3, T=3, readout="sum", write_zero=True,
+             vreset=None, spike_fn="atan", alpha=1.5, num_classes=100),
+    ),
+    "syolox-m-gen4": (
+        0.67, 0.75,
+        dict(use_spike="backbone", embedding="arsnn", embedding_depth=2,
+             embedding_ksize=5, Ts=3, T=3, readout="sum", write_zero=True,
+             vreset=None, spike_fn="atan", num_classes=3),
+    ),
+}
+
+
+def create_model(name: str, num_classes: Optional[int] = None, **overrides):
+    """Build an EASYOLOX by zoo name (reference create_yolox_model:36)."""
+    from .yolox import EASYOLOX
+
+    key = name.lower().replace("_", "-")
+    if key not in MODEL_SPECS:
+        raise KeyError(
+            f"unknown model '{name}'; available: {sorted(MODEL_SPECS)}"
+        )
+    depth, width, kw = MODEL_SPECS[key]
+    kw = dict(kw, depth=depth, width=width)
+    if num_classes is not None:
+        kw["num_classes"] = num_classes
+    kw.update(overrides)
+    return EASYOLOX(**kw)
+
+
+def load_weights(variables, ckpt_path: str):
+    """Load weights from a local checkpoint into ``variables``:
+    ``.pth`` goes through the torch importer, anything else is treated as
+    an Orbax tree (shape-checked partial load)."""
+    if ckpt_path.endswith((".pth", ".pt")):
+        from ..utils.torch_import import (
+            load_torch_state_dict,
+            translate_torch_checkpoint,
+        )
+
+        new_vars, report = translate_torch_checkpoint(
+            load_torch_state_dict(ckpt_path), variables
+        )
+        return new_vars, report
+    import os
+
+    import orbax.checkpoint as ocp
+
+    from ..core.checkpoint import load_partial_params
+
+    restored = ocp.StandardCheckpointer().restore(os.path.abspath(ckpt_path))
+    params = restored.get("ema_params") or restored.get("params", restored)
+    new_vars = dict(variables)
+    new_vars["params"] = load_partial_params(variables["params"], params)
+    if "batch_stats" in restored:
+        new_vars["batch_stats"] = restored["batch_stats"]
+    return new_vars, {"mapped": -1}

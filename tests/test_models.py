@@ -181,3 +181,26 @@ class TestPAFPN:
         assert outs[0].shape == (B, 8, 8, int(256 * 0.125))
         assert outs[1].shape == (B, 4, 4, int(512 * 0.125))
         assert outs[2].shape == (B, 2, 2, int(1024 * 0.125))
+
+
+class TestModelZoo:
+    def test_create_by_name(self):
+        import jax
+        import jax.numpy as jnp
+
+        from eas_snn_tpu.models import MODEL_SPECS, create_model
+
+        assert "syolox-m-gen1" in MODEL_SPECS
+        m = create_model("syolox-s-gen1", width=0.125, depth=0.33, T=2, Ts=2)
+        ev = jnp.zeros((1, 1, 2, 64, 64, 2))
+        v = m.init(jax.random.PRNGKey(0), ev)
+        out = m.apply(v, ev)
+        assert out.shape == (1, 84, 7)
+
+    def test_unknown_name_raises(self):
+        import pytest as _pytest
+
+        from eas_snn_tpu.models import create_model
+
+        with _pytest.raises(KeyError):
+            create_model("nope")
