@@ -61,7 +61,13 @@ def ema_update(ema_params, params, step, decay: float = 0.9998):
     )
 
 
-@partial(jax.jit, static_argnames=("use_l1", "ema_decay"))
+@partial(
+    jax.jit,
+    static_argnames=("use_l1", "ema_decay"),
+    # donate the carried state: params/opt_state/EMA update in place instead
+    # of allocating + copying a second ~3x-params-sized tree every step
+    donate_argnums=(0,),
+)
 def train_step(
     state: TrainState,
     events: jnp.ndarray,

@@ -26,6 +26,35 @@ from .train_state import create_train_state, train_step
 
 __all__ = ["Trainer"]
 
+_MS_JIT = None
+
+
+def _ms_resize_jit(e, t, h2: int, w2: int):
+    import jax
+    import jax.numpy as jnp
+
+    b, tl, tm, h, w, c = e.shape
+    e2 = jax.image.resize(e, (b, tl, tm, h2, w2, c), "nearest")
+    sx, sy = w2 / w, h2 / h
+    scale = jnp.asarray([1.0, sx, sy, sx, sy], t.dtype)
+    return e2, t * scale
+
+
+def _multiscale_resize(events, targets, size):
+    """Device-side nearest resize of a (B, Tl, Tm, H, W, C) batch to a new
+    (H', W') plus the matching cxcywh label rescale (reference
+    exp/event_yolox_base.py:337-351 random_resize + preprocess). One
+    compile per distinct target size (module-level jit cache)."""
+    import jax
+
+    global _MS_JIT
+    h2, w2 = size
+    if events.shape[3:5] == (h2, w2):
+        return events, targets
+    if "_MS_JIT" not in globals() or _MS_JIT is None:
+        _MS_JIT = jax.jit(_ms_resize_jit, static_argnums=(2, 3))
+    return _MS_JIT(events, targets, h2, w2)
+
 
 class Trainer:
     def __init__(self, exp, args):
@@ -124,6 +153,19 @@ class Trainer:
                     bin_event_batch, n_bins=exp.Tm, height=h, width=w
                 )
             )
+        # multiscale training: bounded size set, same seeded choice on all
+        # hosts (replaces the reference's rank-0 broadcast,
+        # exp/event_yolox_base.py:333-335); each size compiles once.
+        self._ms_interval = getattr(exp, "multiscale_interval", 0)
+        if self._ms_interval:
+            h, w = exp.input_size
+            r = exp.multiscale_range
+            self._ms_sizes = [
+                (h + 32 * k, w + 32 * k) for k in range(-r, r + 1)
+                if h + 32 * k > 0 and w + 32 * k > 0
+            ]
+            self._ms_rng = np.random.default_rng(exp.seed or 0)
+            self._ms_size = (h, w)
         self.logger.info(
             f"devices: {jax.device_count()} "
             f"({jax.local_device_count()} local), mesh: {self.mesh}"
@@ -167,6 +209,14 @@ class Trainer:
             frames, labels, _, _ = next(self._loader_iter)
             data_end = time.perf_counter()
             events, targets = self._put(frames, labels)
+            if self._ms_interval:
+                if it % self._ms_interval == 0:
+                    self._ms_size = self._ms_sizes[
+                        int(self._ms_rng.integers(len(self._ms_sizes)))
+                    ]
+                events, targets = _multiscale_resize(
+                    events, targets, self._ms_size
+                )
             self.state, metrics = train_step(
                 self.state, events, targets, use_l1=self.use_l1,
                 ema_decay=0.9998,

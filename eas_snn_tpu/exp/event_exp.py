@@ -66,11 +66,17 @@ class EventExp(BaseExp):
         self.spike_fn = "rect"
         # conv/BN compute dtype: 'float32' | 'bfloat16' (MXU fast path)
         self.compute_dtype = "float32"
+        # rematerialize backbone activations in backward (memory saver)
+        self.remat = False
         self.data_name = "n-caltech"
         # ---------------- dataloader config (reference :61-79) -----------
         self.data_num_workers = 4
         self.measure = "count"
         self.input_size = (640, 640)
+        # every N train iters pick a random size from
+        # input_size +/- 32*multiscale_range (0 disables; reference
+        # random_resize: exp/event_yolox_base.py:333-351 resizes every 10)
+        self.multiscale_interval = 0
         self.multiscale_range = 5
         self.data_dir = None
         self.flip_prob = 0.5
@@ -133,6 +139,7 @@ class EventExp(BaseExp):
             vreset=None if self.reset is None else float(self.reset),
             decay=self.decay,
             compute_dtype=self.compute_dtype,
+            remat=self.remat,
         )
 
     def get_slice_args(self) -> dict:

@@ -60,6 +60,9 @@ class EASYOLOX(nn.Module):
     # 'float32' | 'bfloat16' — conv/BN compute dtype for the backbone, neck
     # and head (params and losses stay float32; bf16 feeds the MXU at 2x)
     compute_dtype: str = "float32"
+    # rematerialize the backbone+neck in the backward pass (activation
+    # memory ~ O(1) in T instead of O(T) for spiking backbones)
+    remat: bool = False
 
     def setup(self):
         assert self.use_spike in USE_SPIKE_MODES, self.use_spike
@@ -95,7 +98,12 @@ class EASYOLOX(nn.Module):
         import jax.numpy as jnp_
 
         dt = jnp_.bfloat16 if self.compute_dtype == "bfloat16" else jnp_.float32
-        self.backbone = YOLOPAFPN(
+        # static_argnums: (self, x, train) -> keep the train flag static
+        backbone_cls = (
+            nn.remat(YOLOPAFPN, static_argnums=(2,)) if self.remat
+            else YOLOPAFPN
+        )
+        self.backbone = backbone_cls(
             depth=self.depth,
             width=self.width,
             depthwise=self.depthwise,
@@ -145,7 +153,7 @@ class EASYOLOX(nn.Module):
                 x = x[0]  # keep first slice (reference yolox.py:39-40)
         else:
             x = self._temporalize(x)
-        fpn_outs = self.backbone(x, train=train)
+        fpn_outs = self.backbone(x, train)  # positional: remat static_argnums
         head_out: HeadOutput = self.head(fpn_outs, train=train)
 
         if targets is not None and train:

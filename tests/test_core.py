@@ -190,3 +190,23 @@ class TestCheckpoint:
         np.testing.assert_allclose(
             np.asarray(restored.ema_params["w"]), 2 * np.arange(4.0)
         )
+
+
+class TestMultiscale:
+    def test_multiscale_resize(self):
+        import jax.numpy as jnp
+
+        from eas_snn_tpu.core.trainer import _multiscale_resize
+
+        events = jnp.ones((2, 1, 2, 64, 64, 2))
+        targets = jnp.asarray(
+            np.tile(np.array([[1.0, 32, 16, 8, 4]], np.float32), (2, 3, 1))
+        )
+        e2, t2 = _multiscale_resize(events, targets, (96, 128))
+        assert e2.shape == (2, 1, 2, 96, 128, 2)
+        np.testing.assert_allclose(
+            np.asarray(t2[0, 0]), [1.0, 64, 24, 16, 6]
+        )
+        # identity size is a no-op
+        e3, t3 = _multiscale_resize(events, targets, (64, 64))
+        assert e3 is events and t3 is targets

@@ -204,3 +204,21 @@ class TestModelZoo:
 
         with _pytest.raises(KeyError):
             create_model("nope")
+
+
+def test_remat_matches_plain(events, labels):
+    m1 = small_model(use_spike="backbone", embedding="count", remat=False)
+    m2 = small_model(use_spike="backbone", embedding="count", remat=True)
+    params = m1.init(jax.random.PRNGKey(0), events, labels, train=True)
+
+    def loss(m):
+        def f(p):
+            out, _ = m.apply(p, events, labels, train=True, mutable=["batch_stats"])
+            return out["total_loss"]
+        return f
+
+    l1, g1 = jax.value_and_grad(loss(m1))(params)
+    l2, g2 = jax.value_and_grad(loss(m2))(params)
+    assert float(l1) == pytest.approx(float(l2), rel=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)

@@ -43,11 +43,21 @@ def test_sharded_step_matches_single_device():
 
     assert jax.device_count() >= 8
     state, events, targets = _setup()
+    # train_step donates its state arg; keep host-side copies to build two
+    # independent device trees
+    import jax.numpy as jnp
+
+    host_state = jax.tree_util.tree_map(np.asarray, state)
+
+    def fresh(sharding):
+        return jax.device_put(
+            jax.tree_util.tree_map(jnp.asarray, host_state), sharding
+        )
 
     # single device
     d0 = jax.devices()[0]
     s1, m1 = train_step(
-        jax.device_put(state, d0),
+        fresh(d0),
         jax.device_put(events, d0),
         jax.device_put(targets, d0),
     )
@@ -57,7 +67,7 @@ def test_sharded_step_matches_single_device():
     batch_sh = NamedSharding(mesh, P("data"))
     repl_sh = NamedSharding(mesh, P())
     s8, m8 = train_step(
-        jax.device_put(state, repl_sh),
+        fresh(repl_sh),
         jax.device_put(events, batch_sh),
         jax.device_put(targets, batch_sh),
     )
