@@ -28,15 +28,29 @@ __all__ = ["EventEvaluator", "PSEEEvaluator"]
 
 
 def _allgather_rows(rows: np.ndarray) -> np.ndarray:
-    """Gather variable-length row arrays from all hosts (single-host: id)."""
+    """Gather variable-length row arrays from all hosts (single-host: id).
+
+    ``process_allgather`` requires identical shapes on every process, so
+    first gather the per-host row counts, pad to the global max, gather,
+    then strip the padding (replaces the reference's pickled gloo gather,
+    utils/dist.py:195-274).
+    """
     import jax
 
     if jax.process_count() == 1:
         return rows
     from jax.experimental import multihost_utils
 
-    gathered = multihost_utils.process_allgather(rows, tiled=False)
-    return np.concatenate(list(gathered), axis=0)
+    n = np.asarray(len(rows), np.int64)
+    counts = np.asarray(multihost_utils.process_allgather(n)).reshape(-1)
+    n_max = int(counts.max())
+    width = rows.shape[1] if rows.ndim == 2 else 7
+    padded = np.zeros((n_max, width), np.float64)
+    padded[: len(rows)] = rows
+    gathered = np.asarray(multihost_utils.process_allgather(padded))
+    return np.concatenate(
+        [gathered[i, : int(c)] for i, c in enumerate(counts)], axis=0
+    )
 
 
 class EventEvaluator:

@@ -32,3 +32,4 @@ class Exp(EventExp):
         self.scheduler = "fixed"
         self.basic_lr_per_img = 1e-3 / 64.0
         self.eval_interval = 10
+        self.compute_dtype = "bfloat16"

@@ -210,3 +210,42 @@ class TestMultiscale:
         # identity size is a no-op
         e3, t3 = _multiscale_resize(events, targets, (64, 64))
         assert e3 is events and t3 is targets
+
+
+class TestModelSurgery:
+    def test_fuse_conv_bn_preserves_eval_output(self):
+        import jax
+        import jax.numpy as jnp
+
+        from eas_snn_tpu.models import EASYOLOX
+        from eas_snn_tpu.utils import fuse_conv_bn
+
+        m = EASYOLOX(
+            num_classes=2, depth=0.33, width=0.125, use_spike="none",
+            embedding="count",
+        )
+        rng = np.random.default_rng(3)
+        ev = jnp.asarray(rng.normal(size=(1, 1, 1, 64, 64, 2)), jnp.float32)
+        v = m.init(jax.random.PRNGKey(0), ev)
+        # give BN non-trivial running stats
+        import jax.tree_util as jtu
+
+        v = dict(v)
+        v["batch_stats"] = jtu.tree_map(
+            lambda x: x + 0.3 * rng.standard_normal(x.shape).astype(x.dtype) ** 2,
+            v["batch_stats"],
+        )
+        out_ref = m.apply(v, ev)
+        fused = fuse_conv_bn(v)
+        out_fused = m.apply(fused, ev)
+        np.testing.assert_allclose(
+            np.asarray(out_fused), np.asarray(out_ref), rtol=2e-3, atol=2e-4
+        )
+
+    def test_freeze_labels(self):
+        from eas_snn_tpu.utils import freeze_labels
+
+        params = {"backbone": {"w": 1}, "head": {"w": 2}, "embedding": {"k": 3}}
+        labels = freeze_labels(params, ["backbone"])
+        assert labels["backbone"]["w"] == "frozen"
+        assert labels["head"]["w"] == "trainable"
