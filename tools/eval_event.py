@@ -80,7 +80,15 @@ def main():
     if args.energy:
         from eas_snn_tpu.evaluators import estimate_energy
 
-        e = estimate_energy(model, variables, sample)
+        # synaptic ops are data-dependent: use event-like Poisson activity,
+        # not zeros (reference runs energy estimation over real batches,
+        # event_evaluator.py:466-565)
+        probe = jnp.asarray(
+            np.random.default_rng(0).poisson(
+                0.2, (1, exp.Tl, exp.Tm, h, w, exp.in_dim)
+            ).astype(np.float32)
+        )
+        e = estimate_energy(model, variables, probe)
         for k, v in e.items():
             logger.info(f"{k}: {v:.6g}")
         return
