@@ -76,6 +76,7 @@ class EventDetDataset:
         letterbox_val: bool = True,
         raw_events: bool = False,
         max_events_per_slice: int = 131072,
+        cache_path: Optional[str] = None,  # frame prestore (gen4.py:99-120)
         seed: int = 0,
         class_names: Sequence[str] = (),
     ):
@@ -95,6 +96,13 @@ class EventDetDataset:
         self.letterbox_val = letterbox_val
         self.raw_events = raw_events
         self.max_events_per_slice = max_events_per_slice
+        self._frame_cache = None
+        if cache_path is not None:
+            from .cache import SampleCache
+
+            self._frame_cache = SampleCache(
+                cache_path if cache_path != "ram" else None
+            )
         self.class_names = tuple(class_names)
         self.target_transform = (
             TrainTransform(max_labels) if not map_val else ValTransform()
@@ -159,15 +167,24 @@ class EventDetDataset:
 
     def generate_slices(self, file_idx: int, group_idx: int) -> np.ndarray:
         """``Tl`` aggregated frames ending at the label timestamp
-        (continuous mode, gen1.py:115-127)."""
+        (continuous mode, gen1.py:115-127); optionally served from the
+        frame prestore cache (reference gen4.py cache_prestore:99-120)."""
+        key = None
+        if self._frame_cache is not None:
+            key = self.sample_name(file_idx, group_idx)
+            hit = self._frame_cache.read(key)
+            if hit is not None:
+                return hit
         timestamp = int(self.labels[file_idx][group_idx][0])
         w0, w1 = self.window
         span = w1 - w0
-        frames = [
+        frames = np.stack([
             self.aggregate(self.search_events(file_idx, timestamp + k * span))
             for k in range(-self.num_slice + 1, 1)
-        ]
-        return np.stack(frames, 0)
+        ], 0)
+        if key is not None:
+            self._frame_cache.write(key, frames)
+        return frames
 
     def aggregate(self, events: Optional[np.ndarray]) -> np.ndarray:
         h, w = self.img_size

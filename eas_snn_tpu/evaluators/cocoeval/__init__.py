@@ -24,11 +24,17 @@ _FAILED = False
 
 
 def _build() -> None:
+    # compile to a unique temp name and rename atomically so concurrent
+    # builders (multi-process eval) never load a half-written .so
+    # (replaces the reference's wait_for_the_master barrier,
+    # yolox/layers/jit_ops.py:85-87)
+    tmp = f"{_SO}.{os.getpid()}.tmp"
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        _SRC, "-o", _SO,
+        _SRC, "-o", tmp,
     ]
     subprocess.run(cmd, check=True, capture_output=True)
+    os.replace(tmp, _SO)
 
 
 def load_native():

@@ -249,6 +249,18 @@ class EventExp(BaseExp):
 
         return Trainer(self, args)
 
+    def eval(self, model, variables, evaluator):
+        """Run an evaluator over a model+params (reference exp.eval
+        :552-554)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        fwd = jax.jit(lambda v, e: model.apply(v, e, train=False))
+        return evaluator.evaluate(
+            lambda frames: np.asarray(fwd(variables, jnp.asarray(frames)))
+        )
+
     def check_exp_value(self):
         h, w = self.input_size
         assert h % 32 == 0 and w % 32 == 0, "input size must be multiples of 32"

@@ -330,3 +330,22 @@ class TestSamplers:
         # disjoint interleave of the same permutation stream
         merged = [v for pair in zip(xa, xb) for v in pair]
         assert sorted(merged[:10]) == list(range(10))
+
+
+class TestFrameCache:
+    def test_prestore_roundtrip(self, rng, tmp_path):
+        os.makedirs(tmp_path / "data")
+        root = build_gen1_tree(tmp_path / "data", rng)
+        ds = Gen1Dataset(
+            root, input_size=(64, 64), training=False,
+            aggregation="sum", num_slice=2, micro_slice=1,
+            window=(-100_000, 0), cache_path=str(tmp_path / "cache"),
+        )
+        f1, g1 = ds.resolve_index(0)
+        a = ds.generate_slices(f1, g1)
+        b = ds.generate_slices(f1, g1)  # cache hit
+        np.testing.assert_array_equal(a, b)
+        assert len(ds._frame_cache) >= 1
+        # disk spill exists
+        import glob
+        assert glob.glob(str(tmp_path / "cache" / "*.npz"))

@@ -62,7 +62,7 @@ def _torch_seed(s=0):
 
 
 class TestEmbeddingParity:
-    @pytest.mark.parametrize("readout", ["sum", "last"])
+    @pytest.mark.parametrize("readout", ["sum", "last", "avg"])
     @pytest.mark.parametrize("vreset", [None, 0.0])
     def test_arsnn_matches_reference(self, readout, vreset):
         import jax
