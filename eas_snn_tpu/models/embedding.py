@@ -62,10 +62,15 @@ def _conv_stack_fn(
     ksize: int,
     depth: int,
     kernel_init,
+    dtype=None,
 ) -> Callable[[jnp.ndarray], jnp.ndarray]:
     """Declare conv[ReLU conv]*(depth-1) params on ``mdl`` and return a pure
     apply closure safe to call inside lax.scan
-    (reference build_conv: embedding.py:106-111)."""
+    (reference build_conv: embedding.py:106-111).
+
+    ``dtype`` sets the conv compute dtype (bf16 for MXU throughput); the
+    result is cast back to the input dtype so the neuron dynamics
+    (threshold crossings, membrane integrals) stay in float32."""
     weights = []
     for i in range(depth):
         ic = in_ch if i == 0 else out_ch
@@ -75,14 +80,17 @@ def _conv_stack_fn(
     pad = [(ksize // 2,) * 2] * 2
 
     def apply(x: jnp.ndarray) -> jnp.ndarray:
+        out_dtype = x.dtype
+        cdt = dtype or out_dtype
+        x = x.astype(cdt)
         for i, (k, b) in enumerate(weights):
             if i > 0:
                 x = jax.nn.relu(x)
             x = jax.lax.conv_general_dilated(
-                x, k.astype(x.dtype), (1, 1), pad,
+                x, k.astype(cdt), (1, 1), pad,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            ) + b.astype(x.dtype)
-        return x
+            ) + b.astype(cdt)
+        return x.astype(out_dtype)
 
     return apply
 
@@ -224,6 +232,8 @@ class ARSNNEmbedding(nn.Module):
     vreset: Optional[float] = 0.0
     spike_fn: str = "rect"
     alpha: float = 1.0
+    # conv compute dtype (None -> input dtype); neuron dynamics stay f32
+    dtype: object = None
     # 'never' (default) | 'always' | 'auto'. Honest forced-materialization
     # profiling on the v5e shows XLA's own scan fusion beating the per-step
     # Pallas kernel (~13 vs ~49 ms device time for the Gen1-M embedding), so
@@ -237,11 +247,11 @@ class ARSNNEmbedding(nn.Module):
         C = self.out_channels
         input_conv = _conv_stack_fn(
             self, "input_conv", self.in_channels, 2 * C, self.ksize,
-            self.depth, _ORTHO,
+            self.depth, _ORTHO, dtype=self.dtype,
         )
         gate_conv = _conv_stack_fn(
             self, "gate_conv", C, 2 * C, self.ksize, self.depth,
-            _KAIMING_SIGMOID,
+            _KAIMING_SIGMOID, dtype=self.dtype,
         )
         kw = dict(
             Ts=self.Ts,
@@ -270,6 +280,7 @@ class ARSNNEmbedding(nn.Module):
 def build_embedding(
     name: str,
     *,
+    dtype=None,
     ksize: int = 7,
     depth: int = 1,
     Ts: int = 1,
@@ -307,6 +318,6 @@ def build_embedding(
             ksize=ksize, depth=depth, Ts=Ts, readout=readout,
             spike_attach=spike_attach, write_zero=write_zero, use_abs=use_abs,
             split=split, thresh=thresh, vreset=vreset, spike_fn=spike_fn,
-            alpha=alpha, name="embedding",
+            alpha=alpha, dtype=dtype, name="embedding",
         )
     raise KeyError(f"unknown embedding '{name}'")

@@ -82,8 +82,14 @@ class EASYOLOX(nn.Module):
             if self.use_spike == "full_v2"
             else NeuronCfg.ann()
         )
+        import jax.numpy as _jnp
+
+        emb_dt = (
+            _jnp.bfloat16 if self.compute_dtype == "bfloat16" else None
+        )
         self.emb = build_embedding(
             self.embedding,
+            dtype=emb_dt,
             ksize=self.embedding_ksize,
             depth=self.embedding_depth,
             Ts=self.Ts,
