@@ -33,7 +33,7 @@ def main():
 
     T = Ts = 3
     Tm = 4
-    B, H, W = 32, 256, 320
+    B, H, W = 64, 256, 320
     # deployment config: bf16 conv/BN compute (2.7x measured vs f32 on v5e);
     # losses/decode stay f32 in the model
     model = _build_model(
@@ -63,7 +63,7 @@ def main():
     _, s = fwd(variables, batches[0])
     float(s)
 
-    n_iters = 20
+    n_iters = 12
     # software pipeline of depth 1: issue call i+1 before forcing call i,
     # so steady-state throughput is measured, not round-trip latency
     _, prev = fwd(variables, batches[0])
@@ -90,7 +90,7 @@ def main():
             {
                 "metric": "event_frames_per_sec_per_chip",
                 "value": round(fps, 2),
-                "unit": "frames/s (SYOLOX-M Gen1 T=3 bf16 eval forward, batch 32)",
+                "unit": "frames/s (SYOLOX-M Gen1 T=3 bf16 eval forward, batch 64)",
                 "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
             }
         )
