@@ -1,0 +1,119 @@
+"""Utility tests: metrics tracking, meters, model info, visualization,
+exp.eval wiring."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+class TestTracking:
+    def test_jsonl_stream(self, tmp_path):
+        from eas_snn_tpu.utils.tracking import MetricsTracker
+
+        t = MetricsTracker(str(tmp_path))
+        t.log(1, {"loss": 3.5, "lr": 1e-3})
+        t.log(2, {"AP50": 0.4}, split="val")
+        t.close()
+        lines = [
+            json.loads(l)
+            for l in open(tmp_path / "metrics.jsonl").read().splitlines()
+        ]
+        assert lines[0]["step"] == 1 and lines[0]["loss"] == 3.5
+        assert lines[1]["split"] == "val" and lines[1]["AP50"] == 0.4
+
+    def test_disabled_writes_nothing(self, tmp_path):
+        from eas_snn_tpu.utils.tracking import MetricsTracker
+
+        t = MetricsTracker(str(tmp_path / "x"), enabled=False)
+        t.log(1, {"a": 1.0})
+        t.close()
+        assert not os.path.exists(tmp_path / "x" / "metrics.jsonl")
+
+
+class TestMeters:
+    def test_average_meter_window(self):
+        from eas_snn_tpu.utils import AverageMeter
+
+        m = AverageMeter(window_size=3)
+        for v in (1, 2, 3, 4):
+            m.update(v)
+        assert m.avg == pytest.approx(3.0)       # window (2, 3, 4)
+        assert m.global_avg == pytest.approx(2.5)
+        assert m.latest == 4
+        assert m.median == 3
+
+    def test_meter_buffer(self):
+        from eas_snn_tpu.utils import MeterBuffer
+
+        b = MeterBuffer(window_size=5)
+        b.update(loss=1.0, iou_loss=2.0)
+        b.update({"loss": 3.0})
+        assert b["loss"].avg == pytest.approx(2.0)
+        assert set(b.get_filtered_meter("loss")) == {"loss", "iou_loss"}
+
+
+class TestVisualize:
+    def test_event_frame_image_and_boxes(self):
+        from eas_snn_tpu.utils import event_frame_to_image, vis_detections
+
+        frame = np.zeros((32, 48, 2), np.float32)
+        frame[4, 5, 1] = 3  # positive-dominant pixel
+        frame[6, 7, 0] = 2  # negative-dominant pixel
+        img = event_frame_to_image(frame)
+        assert img.shape == (32, 48, 3)
+        assert img[4, 5, 0] == 255 and img[6, 7, 0] == 0 and img[0, 0, 0] == 127
+        out = vis_detections(
+            img, np.array([[5, 5, 20, 20]]), np.array([0.9]), np.array([1]),
+            conf=0.5, class_names=("car", "ped"),
+        )
+        assert out.shape == img.shape and (out != img).any()
+
+
+class TestModelInfo:
+    def test_params_and_flops_string(self):
+        import jax
+        import jax.numpy as jnp
+
+        from eas_snn_tpu.models import EASYOLOX
+        from eas_snn_tpu.utils import count_params, get_model_info
+
+        m = EASYOLOX(
+            num_classes=2, depth=0.33, width=0.125, use_spike="none",
+            embedding="count",
+        )
+        ev = jnp.zeros((1, 1, 1, 64, 64, 2))
+        v = m.init(jax.random.PRNGKey(0), ev)
+        n = count_params(v["params"])
+        assert n > 100_000
+        info = get_model_info(m, v, ev)
+        assert "Params" in info and "Gflops" in info
+
+
+class TestExpEval:
+    def test_exp_eval_convenience(self, rng, tmp_path):
+        import jax
+
+        from eas_snn_tpu.exp import EventExp
+
+        from test_data import build_gen1_tree
+
+        root = build_gen1_tree(tmp_path, rng)
+        exp = EventExp()
+        exp.merge([
+            "data_name", "gen1", "data_dir", root, "num_classes", "2",
+            "input_size", "(64,64)", "test_size", "(64,64)",
+            "depth", "0.33", "width", "0.125", "Tl", "1", "Tm", "1",
+            "T", "2", "Ts", "1", "aggregation", "sum",
+            "embedding", "count", "use_spike", "True",
+            "data_num_workers", "1",
+        ])
+        model = exp.get_model()
+        import jax.numpy as jnp
+
+        sample = jnp.zeros((1, 1, 1, 64, 64, 2))
+        variables = model.init(jax.random.PRNGKey(0), sample, train=False)
+        evaluator = exp.get_evaluator(batch_size=3)
+        ap, ap50, text = exp.eval(model, variables, evaluator)
+        assert 0.0 <= ap <= 1.0 and "Average Precision" in text
