@@ -203,27 +203,48 @@ class PSEEEvaluator(EventEvaluator):
                      b[:, 3] - b[:, 1], det[:, 6], det[:, 4] * det[:, 5])
                 )
 
+        # flatten to gatherable rows [stream_idx, t, x, y, w, h, cls, conf];
+        # stream names come from the shared dataset table, so indices are
+        # globally consistent across hosts (reference gathers per batch over
+        # gloo, psee_evaluator.py:231-235)
+        stream_names = sorted(
+            {self._parse_name(n)[0] for n in ds.sample_names}
+        )
+        stream_idx = {n: i for i, n in enumerate(stream_names)}
+
+        def flatten(per_stream, with_conf):
+            rows = []
+            for stream, parts in per_stream.items():
+                si = stream_idx[stream]
+                for part in parts:
+                    if with_conf:
+                        t_us, x, y, w, h, cls, conf = part
+                    else:
+                        t_us, x, y, w, h, cls = part
+                        conf = np.ones(len(x), np.float32)
+                    for j in range(len(x)):
+                        rows.append([
+                            si, t_us, x[j], y[j], w[j], h[j], cls[j], conf[j]
+                        ])
+            return np.asarray(rows, np.float64).reshape(-1, 8)
+
+        gt_rows = _allgather_rows(flatten(per_stream_gt, False))
+        dt_rows = _allgather_rows(flatten(per_stream_dt, True))
+
         evaluator = PropheseeEvaluator(self.camera, self.downsampled_by_2)
-        for stream in sorted(
-            set(per_stream_gt) | set(per_stream_dt)
-        ):
-            g_parts, d_parts = [], []
-            for t_us, x, y, w, h, cls in per_stream_gt.get(stream, []):
-                g_parts.append(boxes_to_prophesee(
-                    np.full(len(x), t_us, np.int64), x, y, w, h,
-                    cls.astype(np.int64), np.ones(len(x), np.float32),
-                ))
-            for t_us, x, y, w, h, cls, conf in per_stream_dt.get(stream, []):
-                d_parts.append(boxes_to_prophesee(
-                    np.full(len(x), t_us, np.int64), x, y, w, h,
-                    cls.astype(np.int64), conf,
-                ))
-            evaluator.add_labels(
-                np.concatenate(g_parts) if g_parts else np.zeros(0, BBOX_DTYPE)
-            )
-            evaluator.add_predictions(
-                np.concatenate(d_parts) if d_parts else np.zeros(0, BBOX_DTYPE)
-            )
+        for si in range(len(stream_names)):
+            g = gt_rows[gt_rows[:, 0] == si]
+            d = dt_rows[dt_rows[:, 0] == si]
+            if not len(g) and not len(d):
+                continue
+            evaluator.add_labels(boxes_to_prophesee(
+                g[:, 1].astype(np.int64), g[:, 2], g[:, 3], g[:, 4], g[:, 5],
+                g[:, 6].astype(np.int64), g[:, 7].astype(np.float32),
+            ) if len(g) else np.zeros(0, BBOX_DTYPE))
+            evaluator.add_predictions(boxes_to_prophesee(
+                d[:, 1].astype(np.int64), d[:, 2], d[:, 3], d[:, 4], d[:, 5],
+                d[:, 6].astype(np.int64), d[:, 7].astype(np.float32),
+            ) if len(d) else np.zeros(0, BBOX_DTYPE))
         metrics = evaluator.evaluate_buffer()
         text = "\n".join(
             f" {k}: {v:.4f}" for k, v in metrics.items() if not isinstance(v, dict)

@@ -117,3 +117,29 @@ class TestExpEval:
         evaluator = exp.get_evaluator(batch_size=3)
         ap, ap50, text = exp.eval(model, variables, evaluator)
         assert 0.0 <= ap <= 1.0 and "Average Precision" in text
+
+
+class TestAssignViz:
+    def test_visualize_assignments(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+
+        from eas_snn_tpu.models import EASYOLOX
+        from eas_snn_tpu.utils.assign_viz import visualize_assignments
+
+        m = EASYOLOX(
+            num_classes=2, depth=0.33, width=0.125, use_spike="none",
+            embedding="count",
+        )
+        rng = np.random.default_rng(5)
+        events = jnp.asarray(rng.poisson(0.3, (2, 1, 1, 64, 64, 2)), jnp.float32)
+        labels = np.zeros((2, 5, 5), np.float32)
+        labels[0, 0] = [0, 32, 32, 20, 16]
+        labels[1, 0] = [1, 16, 40, 12, 12]
+        v = m.init(jax.random.PRNGKey(0), events, jnp.asarray(labels), train=True)
+        imgs = visualize_assignments(
+            m, v, np.asarray(events), labels,
+            save_prefix=str(tmp_path / "assign_"),
+        )
+        assert len(imgs) == 2 and imgs[0].shape == (64, 64, 3)
+        assert os.path.exists(tmp_path / "assign_0.png")
