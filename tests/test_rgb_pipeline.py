@@ -154,3 +154,32 @@ class TestRGBExp:
         v = model.init(jax.random.PRNGKey(0), x)
         out = model.apply(v, x)
         assert out.shape == (1, 84, 5 + 80)
+
+
+class TestLegacyYOLOv3:
+    def test_yolofpn_forward(self):
+        import jax
+        import jax.numpy as jnp
+
+        from eas_snn_tpu.models.yolo_fpn import Darknet, YOLOFPN
+
+        x = jnp.zeros((1, 64, 64, 3))
+        m = YOLOFPN(depth=21)
+        v = m.init(jax.random.PRNGKey(0), x)
+        o3, o4, o5 = m.apply(v, x)
+        assert o3.shape == (1, 8, 8, 128)
+        assert o4.shape == (1, 4, 4, 256)
+        assert o5.shape[1:3] == (2, 2)
+
+    def test_yolov3_exp(self):
+        import jax
+        import jax.numpy as jnp
+
+        from eas_snn_tpu.exp import get_exp
+
+        exp = get_exp(exp_file="exps/default/yolov3.py")
+        m = exp.get_model()
+        x = jnp.zeros((1, 1, 1, 64, 64, 3))
+        v = m.init(jax.random.PRNGKey(0), x)
+        out = m.apply(v, x)
+        assert out.shape == (1, 84, 85)
