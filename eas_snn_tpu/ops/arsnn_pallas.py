@@ -11,10 +11,14 @@ segment scatter — into ONE Pallas kernel per scan step: a single pass over
 the state tiles in VMEM instead of XLA's several fusions, with the
 (Ts, ...) aggregation updated in place via ``input_output_aliases``.
 
-Gradients: the fused op carries a ``custom_vjp`` whose backward re-runs the
-pure-JAX step (ops/arsnn.py semantics) under ``jax.vjp`` — bit-identical
-adjoints (surrogate spike gradients included) at the cost of one recompute,
-so training may keep the XLA scan; inference takes the fused path.
+Status: equivalence-tested against the XLA scan for every readout/reset/
+SAT/RPD combination, but honest forced-materialization profiling on v5e
+measures XLA's own scan fusion FASTER (~13 vs ~49 ms device for the Gen1-M
+embedding) — per-step kernel launches and HBM round-trips of the (Ts, ...)
+aggregation dominate. The kernel therefore stays opt-in
+(``ARSNNEmbedding(use_pallas='always')``); a whole-scan-resident redesign
+(aggregation pinned in VMEM across steps, conv results DMA'd in) is the
+planned follow-up.
 
 Layout: all state is flattened to (R, 128) lanes and tiled over a 1-D grid;
 the aggregation rides along as (Ts, R, 128).
