@@ -14,7 +14,9 @@ behavior.
 
 LR schedules mirror yolox/utils/lr_scheduler.py: 'fixed', 'cos', 'warmcos',
 'yoloxwarmcos' (quadratic warmup, cosine to min_lr_ratio, flat min during
-the no-aug tail).
+the no-aug tail), 'yoloxsemiwarmcos' (semi-supervised phase with a slower
+per-iter clock, lr_scheduler.py:63-84,155-203) and 'multistep'
+(lr_scheduler.py:86-92,206-210).
 """
 
 from __future__ import annotations
@@ -38,8 +40,12 @@ def build_lr_schedule(
     warmup_lr_start: float = 0.0,
     no_aug_epochs: int = 0,
     min_lr_ratio: float = 0.05,
+    milestones: tuple = (),
+    gamma: float = 0.1,
+    semi_epoch: int = 0,
+    iters_per_epoch_semi: Optional[int] = None,
 ) -> Callable[[jnp.ndarray], jnp.ndarray]:
-    """Per-iteration LR schedule (reference lr_scheduler.py:100-160)."""
+    """Per-iteration LR schedule (reference lr_scheduler.py:100-210)."""
     total_iters = iters_per_epoch * total_epochs
     warmup_iters = iters_per_epoch * warmup_epochs
     no_aug_iters = iters_per_epoch * no_aug_epochs
@@ -71,6 +77,50 @@ def build_lr_schedule(
             if no_aug_iters > 0:
                 out = jnp.where(it >= total_iters - no_aug_iters, min_lr, out)
             return out
+        if name == "yoloxsemiwarmcos":
+            # reference lr_scheduler.py:63-84,155-203: after `semi_epoch`
+            # full epochs the per-iter cosine clock slows by the ratio of
+            # the semi-phase epoch length to the normal one.
+            ipe_semi = iters_per_epoch_semi or iters_per_epoch
+            normal_iters = iters_per_epoch * semi_epoch
+            semi_iters = ipe_semi * (total_epochs - semi_epoch - no_aug_epochs)
+            min_lr = lr * min_lr_ratio
+            denom = max(total_iters - warmup_iters - no_aug_iters, 1)
+            warm = (lr - warmup_lr_start) * (
+                it / max(warmup_iters, 1)
+            ) ** 2 + warmup_lr_start
+            cos_normal = min_lr + 0.5 * (lr - min_lr) * (
+                1.0 + jnp.cos(math.pi * (it - warmup_iters) / denom)
+            )
+            cos_semi = min_lr + 0.5 * (lr - min_lr) * (
+                1.0
+                + jnp.cos(
+                    math.pi
+                    * (
+                        normal_iters
+                        - warmup_iters
+                        + (it - normal_iters) * iters_per_epoch / ipe_semi
+                    )
+                    / denom
+                )
+            )
+            out = jnp.where(it <= normal_iters, cos_normal, cos_semi)
+            out = jnp.where(it >= normal_iters + semi_iters, min_lr, out)
+            return jnp.where(it <= warmup_iters, warm, out)
+        if name == "multistep":
+            # milestones are given in epochs (reference exp attribute),
+            # converted to iters exactly as lr_scheduler.py:86-92 does.
+            ms_iters = jnp.asarray(
+                [
+                    int(total_iters * m / total_epochs)
+                    for m in (milestones or ())
+                ],
+                jnp.float32,
+            )
+            n_hit = jnp.sum(it[..., None] >= ms_iters, axis=-1) if len(
+                milestones or ()
+            ) else jnp.zeros_like(it)
+            return lr * gamma ** n_hit
         raise ValueError(f"unknown scheduler '{name}'")
 
     return sched

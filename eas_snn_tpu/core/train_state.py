@@ -37,8 +37,15 @@ def create_train_state(
     sample_targets: jnp.ndarray,
     tx: optax.GradientTransformation,
     use_ema: bool = True,
+    variables=None,
 ) -> TrainState:
-    variables = model.init(rng, sample_events, sample_targets, train=True)
+    if variables is None:
+        # jit the init: eager tracing dispatches thousands of tiny ops
+        # one-by-one (minutes over the axon TPU tunnel); one compiled
+        # program initializes in seconds.
+        variables = jax.jit(model.init, static_argnames=("train",))(
+            rng, sample_events, sample_targets, train=True
+        )
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     return TrainState(

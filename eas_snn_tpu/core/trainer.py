@@ -109,20 +109,42 @@ class Trainer:
             exp, "iters_per_epoch", None
         ) or max(len(self.train_loader.dataset) // batch_size, 1)
 
+        # device-binning path: build the binner BEFORE model.init so the
+        # init sample can be binned (raw-events loaders yield tuples of
+        # (B, Tl, N) arrays, not frame tensors)
+        self._bin = None
+        if getattr(exp, "device_binning", False):
+            from functools import partial
+
+            from ..data.reps import bin_event_batch
+
+            h, w = exp.input_size
+            self._bin = jax.jit(
+                partial(bin_event_batch, n_bins=exp.Tm, height=h, width=w)
+            )
+
         # sample batch for init
         self._loader_iter = iter(self.train_loader)
         frames, labels, _, _ = next(self._loader_iter)
-        sample_e = jnp.asarray(frames[:1])
+        if isinstance(frames, tuple):
+            sample_e = self._bin(*(jnp.asarray(a[:1]) for a in frames))
+        else:
+            sample_e = jnp.asarray(frames[:1])
         sample_t = jnp.asarray(labels[:1])
 
         rng = jax.random.PRNGKey(exp.seed or 0)
-        # params needed for optimizer masks: init first
-        variables = self.model.init(rng, sample_e, sample_t, train=True)
+        # params needed for optimizer masks: init first (jitted — eager
+        # init dispatches each tiny op separately, which is minutes over
+        # the axon tunnel), then reuse the same variables for the state.
+        variables = jax.jit(
+            self.model.init, static_argnames=("train",)
+        )(rng, sample_e, sample_t, train=True)
         tx = exp.get_optimizer(
             variables["params"], batch_size, iters_per_epoch=self.iters_per_epoch
         )
         self.state = create_train_state(
-            self.model, rng, sample_e, sample_t, tx, use_ema=exp.ema
+            self.model, rng, sample_e, sample_t, tx, use_ema=exp.ema,
+            variables=variables,
         )
         self.lr_schedule = exp.get_lr_schedule(batch_size, self.iters_per_epoch)
 
@@ -139,20 +161,29 @@ class Trainer:
                 f"resumed at step {int(self.state.step)} "
                 f"(epoch {self.start_epoch}), best_ap {self.best_ap:.4f}"
             )
+        elif getattr(self.args, "ckpt", None):
+            # fine-tune: shape-checked partial load of model weights only
+            # (reference trainer.py:346-352 'loading checkpoint for fine
+            # tuning' via utils/checkpoint.py:11-33)
+            from ..models.build import load_weights
+
+            variables = {
+                "params": self.state.params,
+                "batch_stats": self.state.batch_stats,
+            }
+            new_vars, report = load_weights(variables, self.args.ckpt)
+            self.state = self.state.replace(
+                params=new_vars["params"],
+                batch_stats=new_vars.get(
+                    "batch_stats", self.state.batch_stats
+                ),
+            )
+            self.state = jax.device_put(self.state, self.repl_sharding)
+            self.logger.info(
+                f"fine-tune init from {self.args.ckpt}: {report}"
+            )
 
         self.evaluator = None
-        self._bin = None
-        if getattr(exp, "device_binning", False):
-            from functools import partial
-
-            from ..data.reps import bin_event_batch
-
-            h, w = exp.input_size
-            self._bin = jax.jit(
-                partial(
-                    bin_event_batch, n_bins=exp.Tm, height=h, width=w
-                )
-            )
         # multiscale training: bounded size set, same seeded choice on all
         # hosts (replaces the reference's rank-0 broadcast,
         # exp/event_yolox_base.py:333-335); each size compiles once.
@@ -197,11 +228,18 @@ class Trainer:
             and self.epoch >= self.max_epoch - self.exp.no_aug_epochs
             and not self.no_aug
         ):
-            # close aug + enable L1 for the tail (reference trainer.py:228-241)
-            self.logger.info("--->no-aug phase: closing random aug, adding L1")
+            # reference trainer.py:228-241: the tail closes *mosaic* and
+            # adds L1 — the per-sample train transform stays on, so event
+            # datasets keep their random aug and only RGB mosaic/mixup stop.
+            self.logger.info("--->no-aug phase: closing mosaic, adding L1")
             self.no_aug = True
             self.use_l1 = True
-            self.train_loader.dataset.training = False
+            ds = self.train_loader.dataset
+            if hasattr(ds, "close_mosaic"):
+                ds.close_mosaic()
+            for attr in ("mosaic_prob", "mixup_prob"):
+                if hasattr(ds, attr):
+                    setattr(ds, attr, 0.0)
 
     def train_in_iter(self):
         for it in range(self.iters_per_epoch):

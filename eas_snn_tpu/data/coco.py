@@ -56,6 +56,7 @@ class _RGBDetBase:
 
     def _emit(self, img: np.ndarray, boxes: np.ndarray, sid: int):
         ih, iw = img.shape[:2]
+        raw = boxes.copy()  # pre-letterbox, raw-resolution xyxy
         frames = img.astype(np.float32)[None]  # (1, H, W, 3)
         if self.training:
             frames, boxes = random_resize_place_flip(
@@ -66,8 +67,10 @@ class _RGBDetBase:
             frames, boxes = letterbox(frames, boxes, self.input_size)
         frames = frames[None]  # (Tl=1, Tm=1, H, W, 3)
         if self.map_val:
-            raw_c = boxes  # here boxes are input-size; protocol uses raw
-            raw_c = xyxy2cxcywh_np(boxes) if len(boxes) else boxes
+            # raw-resolution cxcywh GT: the evaluator rescales detections back
+            # to raw coords, so GT must stay in the raw frame too (mirrors
+            # event_dataset.__getitem__'s map_val branch).
+            raw_c = xyxy2cxcywh_np(raw) if len(raw) else raw
             frames, raw_c = self.target_transform(frames, raw_c, self.input_size)
             return frames, raw_c, (ih, iw), sid
         cxcywh = xyxy2cxcywh_np(boxes) if len(boxes) else boxes

@@ -158,8 +158,17 @@ class EventDetDataset:
         w0, w1 = self.window
         span = w1 - w0
         cur = timestamp + w0
-        for trigger in range(self.num_slice + 1):
-            events = self.events_in_window(file_idx, cur, cur + span)
+        # the reference's zero_trigger loop makes num_slice + 2 attempts
+        # (gen1.py:222-231: break only once zero_trigger > num_slice)
+        for trigger in range(self.num_slice + 2):
+            if cur <= 0:
+                # reference seek_time(<=0) resets to t=0 and load_delta_t
+                # then spans a FULL window from 0 (psee_loader.py:208-210 +
+                # :128-170) — the window end extends to `span`, it is not
+                # clamped to cur + span.
+                events = self.events_in_window(file_idx, 0, span)
+            else:
+                events = self.events_in_window(file_idx, cur, cur + span)
             if len(events) > 0:
                 return events
             cur -= span

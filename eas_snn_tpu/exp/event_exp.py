@@ -203,6 +203,10 @@ class EventExp(BaseExp):
             warmup_lr_start=self.warmup_lr,
             no_aug_epochs=self.no_aug_epochs,
             min_lr_ratio=self.min_lr_ratio,
+            milestones=tuple(getattr(self, "milestones", ()) or ()),
+            gamma=getattr(self, "gamma", 0.1),
+            semi_epoch=getattr(self, "semi_epoch", 0),
+            iters_per_epoch_semi=getattr(self, "iters_per_epoch_semi", None),
         )
 
     def get_optimizer(self, params, batch_size: int, iters_per_epoch: int = 1000):

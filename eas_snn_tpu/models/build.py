@@ -87,4 +87,16 @@ def load_weights(variables, ckpt_path: str):
     new_vars["params"] = load_partial_params(variables["params"], params)
     if "batch_stats" in restored:
         new_vars["batch_stats"] = restored["batch_stats"]
-    return new_vars, {"mapped": -1}
+
+    import jax
+
+    total = len(jax.tree_util.tree_leaves(variables["params"]))
+    kept = sum(
+        old is new
+        for old, new in zip(
+            jax.tree_util.tree_leaves(variables["params"]),
+            jax.tree_util.tree_leaves(new_vars["params"]),
+        )
+    )
+    return new_vars, {"mapped": total - kept, "kept_current": kept,
+                      "total": total}

@@ -227,7 +227,11 @@ class ARSNNEmbedding(nn.Module):
     spike_attach: bool = False
     write_zero: bool = False
     use_abs: bool = False
-    split: bool = False  # accepted for config parity; split agg convs TBD
+    # split=True declares input_conv_agg/gate_conv_agg parameters exactly as
+    # the reference does (embedding.py:100-102,129-130) — but the reference's
+    # forward NEVER uses them (the call sites are commented out at :163-165),
+    # so they are checkpoint-compatibility ballast here too.
+    split: bool = False
     thresh: float = 1.0
     vreset: Optional[float] = 0.0
     spike_fn: str = "rect"
@@ -253,6 +257,17 @@ class ARSNNEmbedding(nn.Module):
             self, "gate_conv", C, 2 * C, self.ksize, self.depth,
             _KAIMING_SIGMOID, dtype=self.dtype,
         )
+        if self.split:
+            # unused-by-forward parameters, matching the reference's
+            # checkpoint layout (init scheme swapped vs the main convs,
+            # reference embedding.py:129-130)
+            _conv_stack_fn(
+                self, "input_conv_agg", self.in_channels, 2 * C,
+                self.ksize, 1, _KAIMING_SIGMOID,
+            )
+            _conv_stack_fn(
+                self, "gate_conv_agg", C, 2 * C, self.ksize, 1, _ORTHO,
+            )
         kw = dict(
             Ts=self.Ts,
             thresh=self.thresh,

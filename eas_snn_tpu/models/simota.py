@@ -170,11 +170,18 @@ def yolox_losses(
     acx = (centers_x + 0.5) * strides
     acy = (centers_y + 0.5) * strides
 
+    # the reference runs get_assignments under @torch.no_grad
+    # (spiking_yolo_head.py:439) — the assignment, incl. the pred_iou that
+    # scales the cls target, is a CONSTANT wrt the network outputs; without
+    # this stop_gradient a second (wrong) gradient path flows through the
+    # pairwise IoU into bbox_preds (caught by tests/test_grad_parity.py).
+    sg = jax.lax.stop_gradient
     assign = jax.vmap(
         lambda gb, gc, gv, pb, cl, ob: simota_assign(
             gb, gc, gv, pb, cl, ob, acx, acy, strides, num_classes
         )
-    )(gt_boxes, gt_classes, gt_valid, bbox_preds, cls_preds, obj_preds)
+    )(gt_boxes, gt_classes, gt_valid, sg(bbox_preds), sg(cls_preds),
+      sg(obj_preds))
 
     fg = assign.fg_mask.astype(f32)                        # (B, A)
     total_num_fg = jnp.maximum(assign.num_fg.sum(), 1.0)

@@ -12,7 +12,7 @@ from typing import Dict, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .blocks import BaseConv, upsample2x
+from .blocks import BaseConv, SPPBottleneck, upsample2x
 
 __all__ = ["Darknet", "YOLOFPN"]
 
@@ -65,11 +65,15 @@ class Darknet(nn.Module):
         x = group(x, c * 16, num_blocks[2], 2, "dark4")
         outputs["dark4"] = x
         x = group(x, c * 32, num_blocks[3], 2, "dark5")
-        # spp-style tail convs (reference make_spp_block simplified to the
-        # same channel plan)
-        x = BaseConv(c * 16, 1, 1, act=act, name="dark5_conv1")(x, train)
-        x = BaseConv(c * 32, 3, 1, act=act, name="dark5_conv2")(x, train)
-        x = BaseConv(c * 16, 1, 1, act=act, name="dark5_conv3")(x, train)
+        # spp tail (reference make_spp_block, darknet.py:68-83):
+        # 1x1 down, 3x3 up, SPPBottleneck, 3x3 up, 1x1 down
+        x = BaseConv(c * 16, 1, 1, act=act, name="dark5_spp0")(x, train)
+        x = BaseConv(c * 32, 3, 1, act=act, name="dark5_spp1")(x, train)
+        x = SPPBottleneck(out_channels=c * 16, act=act, name="dark5_spp2")(
+            x, train
+        )
+        x = BaseConv(c * 32, 3, 1, act=act, name="dark5_spp3")(x, train)
+        x = BaseConv(c * 16, 1, 1, act=act, name="dark5_spp4")(x, train)
         outputs["dark5"] = x
         return {k: v for k, v in outputs.items() if k in self.out_features}
 
@@ -89,9 +93,12 @@ class YOLOFPN(nn.Module):
         x2, x1, x0 = (feats[f] for f in self.in_features)
 
         def embed(x, ch, name):
+            # reference _make_embedding (yolo_fpn.py:42-51): 5 convs 1-3-1-3-1
             x = BaseConv(ch, 1, 1, act="lrelu", name=f"{name}_0")(x, train)
             x = BaseConv(ch * 2, 3, 1, act="lrelu", name=f"{name}_1")(x, train)
             x = BaseConv(ch, 1, 1, act="lrelu", name=f"{name}_2")(x, train)
+            x = BaseConv(ch * 2, 3, 1, act="lrelu", name=f"{name}_3")(x, train)
+            x = BaseConv(ch, 1, 1, act="lrelu", name=f"{name}_4")(x, train)
             return x
 
         # yolo branch 1 (dark5 -> dark4 merge)

@@ -175,6 +175,16 @@ def translate_torch_checkpoint(
         ):
             name = "conv" if path[1] == "embedding_conv" else path[1]
             path = ("embedding", name, path[3])
+        # split agg convs: plain Conv2d, no sequential index
+        # (reference embedding.py:100-102)
+        if len(path) == 2 and path[0] == "embedding" and path[1] in (
+            "input_conv_agg", "gate_conv_agg"
+        ):
+            leaf = f"{path[1]}_kernel0" if kind == "kernel" else f"{path[1]}_bias0"
+            v = value.transpose(2, 3, 1, 0) if kind == "kernel" else value
+            ok = _set_leaf(params, ("embedding", leaf), v)
+            report["mapped" if ok else "shape_miss"] += 1
+            continue
         if len(path) >= 3 and path[0] == "embedding" and path[1] in (
             "input_conv", "gate_conv", "agg_conv", "conv"
         ) and path[2].isdigit():
