@@ -197,6 +197,26 @@ class Trainer:
             ]
             self._ms_rng = np.random.default_rng(exp.seed or 0)
             self._ms_size = (h, w)
+        # conv FLOPs/frame for MFU reporting (reference get_model_info ≙
+        # thop; here the 'sops' accounting collection, model_info.py)
+        self._flops_per_frame = None
+        try:
+            from ..evaluators.energy import count_ops
+
+            ops = count_ops(
+                self.model,
+                {"params": self.state.params,
+                 "batch_stats": self.state.batch_stats},
+                sample_e,
+            )
+            macs = sum(float(v[1]) for v in ops.values())
+            self._flops_per_frame = 2.0 * macs / sample_e.shape[0]
+            self.logger.info(
+                f"model: {self._flops_per_frame / 1e9:.2f} conv GFLOPs/frame"
+            )
+        except Exception as e:  # accounting must never block training
+            self.logger.info(f"flops accounting unavailable: {e}")
+
         self.logger.info(
             f"devices: {jax.device_count()} "
             f"({jax.local_device_count()} local), mesh: {self.mesh}"
@@ -242,7 +262,27 @@ class Trainer:
                     setattr(ds, attr, 0.0)
 
     def train_in_iter(self):
+        import jax
+
+        # --profile N: capture a jax.profiler device trace of N steady-state
+        # iterations into <run_dir>/profile (reference has no real profiler;
+        # SURVEY §5.1 names this as the TPU-native upgrade)
+        profile_n = int(getattr(self.args, "profile", 0) or 0)
+        profiling = False
         for it in range(self.iters_per_epoch):
+            if profile_n and self.epoch == self.start_epoch:
+                if it == 1:
+                    jax.profiler.start_trace(
+                        os.path.join(self.file_name, "profile")
+                    )
+                    profiling = True
+                elif profiling and it == 1 + profile_n:
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    self.logger.info(
+                        f"profiler trace ({profile_n} iters) -> "
+                        f"{self.file_name}/profile"
+                    )
             iter_start = time.perf_counter()
             frames, labels, _, _ = next(self._loader_iter)
             data_end = time.perf_counter()
@@ -271,6 +311,24 @@ class Trainer:
                 )
                 self._log_iter(it)
                 self.tracker.log(int(self.state.step), metrics)
+        if profiling:
+            jax.profiler.stop_trace()
+
+    # TPU v5e bf16 peak; MFU is a lower bound (conv MACs only, 3x fwd
+    # approximation for fwd+bwd)
+    _PEAK_FLOPS = 197e12
+
+    def _mfu_str(self) -> str:
+        if not self._flops_per_frame or "iter_time" not in self.meter:
+            return ""
+        it_s = self.meter["iter_time"].avg
+        if it_s <= 0:
+            return ""
+        mfu = (
+            3.0 * self._flops_per_frame * self.batch_size / it_s
+            / self._PEAK_FLOPS
+        )
+        return f"mfu: {100 * mfu:.1f}%, "
 
     def _log_iter(self, it):
         left_iters = (
@@ -290,6 +348,7 @@ class Trainer:
             f"hbm: {hbm_usage_gb():.1f}GiB, "
             f"iter_time: {self.meter['iter_time'].avg:.3f}s, "
             f"data_time: {self.meter['data_time'].avg:.3f}s, "
+            f"{self._mfu_str()}"
             f"{loss_str}, "
             f"lr: {self.meter['lr'].latest:.3e}, "
             f"ETA: {eta}"

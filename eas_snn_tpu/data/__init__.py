@@ -13,6 +13,7 @@ from .augment import (
 )
 from .cache import SampleCache
 from .coco import COCODataset, VOCDataset, VOC_CLASSES
+from .concat import ConcatDataset, MixConcatDataset
 from .mosaic import MosaicDataset, random_affine
 from .event_dataset import EventDetDataset
 from .gen1 import GEN1_CLASSES, Gen1Dataset
@@ -57,6 +58,7 @@ __all__ = [  # noqa: F405
     "random_affine",
     "EventDataLoader", "InfiniteSampler", "SequentialSampler",
     "collate_event_batch", "SampleCache",
+    "ConcatDataset", "MixConcatDataset",
     # io
     "EventStream", "EVENT_DTYPE", "BBOX_DTYPE", "load_bboxes",
     "write_dat_events", "write_bboxes_npy",

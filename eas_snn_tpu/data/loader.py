@@ -62,9 +62,15 @@ class InfiniteSampler:
 
 
 class SequentialSampler:
-    """One pass over [0, size), rank-strided with padding to equal length
-    (the reference uses torch DistributedSampler for eval,
-    exp/event_yolox_base.py:489-495)."""
+    """One pass over [0, size), rank-strided WITHOUT padding.
+
+    The reference uses torch's DistributedSampler (which pads with duplicate
+    samples, exp/event_yolox_base.py:489-495) but then dedups at gather time
+    because its gloo gather merges per-sample-id dicts. Our evaluator gathers
+    flat rows once at the end of eval — duplicate samples would be counted
+    twice — so ranks simply take disjoint strided slices of the real index
+    range; unequal local lengths are fine because the collective happens
+    once, not per batch."""
 
     def __init__(self, size: int, rank: int = 0, world_size: int = 1):
         self.size = size
@@ -72,13 +78,10 @@ class SequentialSampler:
         self.world_size = world_size
 
     def __iter__(self) -> Iterator[int]:
-        n_per = -(-self.size // self.world_size)
-        idx = list(range(self.size))
-        idx += idx[: n_per * self.world_size - self.size]  # pad
-        return iter(idx[self.rank::self.world_size])
+        return iter(range(self.rank, self.size, self.world_size))
 
     def __len__(self) -> int:
-        return -(-self.size // self.world_size)
+        return len(range(self.rank, self.size, self.world_size))
 
 
 def collate_event_batch(samples: Sequence, stack_labels: bool):

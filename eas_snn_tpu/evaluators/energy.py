@@ -40,13 +40,18 @@ def count_ops(model, variables, events, **apply_kwargs) -> Dict[str, np.ndarray]
 
     Returns {module_path: array([sops, macs, spiking])}.
     """
-    _, aux = model.apply(
-        {k: v for k, v in variables.items() if k != "sops"},
-        events,
-        train=False,
-        mutable=["sops"],
-        **apply_kwargs,
-    )
+    import jax
+
+    # jit: an eager apply dispatches each op separately (minutes over a
+    # relayed TPU backend); one compiled program runs in seconds.
+    @jax.jit
+    def _run(v, e):
+        return model.apply(
+            {k: x for k, x in v.items() if k != "sops"},
+            e, train=False, mutable=["sops"], **apply_kwargs,
+        )
+
+    _, aux = _run(variables, events)
     out: Dict[str, np.ndarray] = {}
     _walk(
         {k: v for k, v in aux.get("sops", {}).items()}, (), out

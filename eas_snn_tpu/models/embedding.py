@@ -92,6 +92,7 @@ def _conv_stack_fn(
             ) + b.astype(cdt)
         return x.astype(out_dtype)
 
+    apply.weights = weights  # raw (kernel HWIO, bias) pairs for fused paths
     return apply
 
 
@@ -278,17 +279,26 @@ class ARSNNEmbedding(nn.Module):
             write_zero=self.write_zero,
             use_abs=self.use_abs,
         )
-        fused_ok = (
-            self.use_pallas == "always"
-            or (
-                self.use_pallas == "auto"
-                and not train
-                and not record
-                and jax.default_backend() == "tpu"
+        if self.use_pallas in ("always", "auto"):
+            from ..ops.arsnn_pallas import arsnn_fused_v2, v2_supported
+
+            Tm, _, Hh, Ww, Cin = ev.shape
+            ok = v2_supported(
+                Tm, Cin, C, Hh, Ww, self.depth, self.ksize, record
+            ) and not train and (
+                self.use_pallas == "always"
+                or jax.default_backend() == "tpu"
             )
-        )
-        if fused_ok:
-            return arsnn_scan_fused(ev, input_conv, gate_conv, **kw)
+            if ok:
+                kw2 = dict(kw)
+                kw2.pop("spike_fn")  # forward-only kernel: exact Heaviside
+                return arsnn_fused_v2(
+                    ev, input_conv.weights, gate_conv.weights,
+                    interpret=jax.default_backend() != "tpu",
+                    **kw2,
+                )
+            if self.use_pallas == "always":
+                return arsnn_scan_fused(ev, input_conv, gate_conv, **kw)
         return arsnn_scan(ev, input_conv, gate_conv, record=record, **kw)
 
 

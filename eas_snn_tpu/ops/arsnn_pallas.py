@@ -34,7 +34,8 @@ import jax.numpy as jnp
 
 from .surrogate import SpikeFn
 
-__all__ = ["arsnn_scan_fused", "fused_step_reference"]
+__all__ = ["arsnn_scan_fused", "arsnn_fused_v2", "fused_step_reference",
+           "v2_supported"]
 
 _LANES = 128
 _BLOCK_ROWS = 512  # (512, 128) f32 tiles = 256 KiB per operand
@@ -271,3 +272,305 @@ def arsnn_scan_fused(
     if use_abs:
         agg = jax.nn.relu(agg)
     return agg
+
+
+# ---------------------------------------------------------------------------
+# v2: whole-scan-resident kernel
+# ---------------------------------------------------------------------------
+#
+# Why v1 loses to the XLA scan (13 ms) and how v2 wins:
+#
+#   * v1 launches one kernel per micro-step and round-trips ALL state —
+#     including the (Ts, ...) aggregation — through HBM between steps.
+#   * the gate/input convs stayed in XLA, where a channels-last conv with
+#     C=2 pads the channel dim onto 128 lanes: a ~64x physical-memory blowup
+#     on every conv operand. That layout tax, not FLOPs, dominates the
+#     embedding (the convs are 5x5 stencils over 2->4 channels — there are
+#     almost no FLOPs).
+#
+# v2 runs the ENTIRE scan in one pallas_call with grid (N, Tm), time
+# innermost. TPU grid iterations execute sequentially and scratch persists
+# across them, so each batch element keeps vmem/vavg/spike/seg/t_last and
+# the aggregation resident in VMEM for all Tm steps; the (n, t) event block
+# streams in via the BlockSpec pipeline. Both depth-stacked convs are
+# computed INSIDE the kernel as explicit shift-FMA stencils over (H, W)
+# planes (W on lanes, channels unrolled) — the natural layout for C=2, with
+# zero lane padding waste beyond W -> multiple-of-128.
+#
+# Forward-only (eval/inference path), like v1: the XLA scan's VJP defines
+# training gradients; equivalence tests assert elementwise equality.
+
+
+def v2_supported(Tm: int, C_in: int, C_out: int, H: int, W: int,
+                 depth: int, ksize: int, record: bool = False) -> bool:
+    """Geometry gate: everything the kernel keeps resident must fit VMEM
+    (~16 MB/core on v5e)."""
+    if record or depth > 2 or C_in != 2 or C_out != 2 or ksize > 7:
+        return False
+    p = ksize // 2
+    lanes = -(-(W + 2 * p) // _LANES) * _LANES
+    plane = (H + 2 * p) * lanes * 4
+    # pad_in(2C) + mid(2C) + state(5 x C) + agg(3C assumed Ts<=4) + ev(2 x Cin)
+    est = plane * (2 * 2 * C_out + 2 * 2 * C_out + 5 * C_out + 4 * 2 * C_out
+                   + 2 * C_in)
+    return est < 14 * 1024 * 1024
+
+
+def _stencil_conv(pad_ref, out_ref, out_base, w_ref, b_ref, w_off, b_off,
+                  ci_n, co_n, ksize, H, W, relu):
+    """out_ref[out_base + co] = (relu?)(bias + sum_{ci,dy,dx} w*shifted(pad))
+
+    pad_ref: (Cmax, H+2p, W+2p) zero-bordered scratch whose interior holds
+    the layer input. Weights/biases are flat SMEM scalars at the given
+    offsets, layout w[co, ci, dy, dx] (torch OIHW order -> flat).
+
+    Two Mosaic survival rules shape this code:
+      * dx shifts use ``pltpu.roll`` on a loaded (H, W+2p) row band + an
+        ALIGNED [:W] slice — dynamic unaligned slices are rejected and
+        ksize^2*ci*co distinct unaligned static slices compile unusably
+        slowly. The wrap-around columns never reach [:W] because the band
+        is 2p wider than the output.
+      * accumulation is IN-PLACE into scratch (`out_ref[co] += w*xs`) —
+        carrying hundreds of full-plane SSA values through the unrolled
+        stencil made the register allocator spill ~190 MB of VMEM.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    wp = W + 2 * (ksize // 2)  # logical band width
+    for co in range(co_n):
+        out_ref[out_base + co] = jnp.full((H, W), b_ref[b_off + co],
+                                          jnp.float32)
+    for ci in range(ci_n):
+        for dy in range(ksize):
+            band = pad_ref[ci, dy:dy + H, :]          # (H, W + 2p)
+            for dx in range(ksize):
+                # left-shift by dx == non-negative roll by wp - dx
+                xs = (
+                    pltpu.roll(band, wp - dx, 1)[:, :W] if dx
+                    else band[:, :W]
+                )
+                for co in range(co_n):
+                    w = w_ref[
+                        w_off + ((co * ci_n + ci) * ksize + dy) * ksize + dx
+                    ]
+                    out_ref[out_base + co] = out_ref[out_base + co] + w * xs
+    if relu:
+        for co in range(co_n):
+            out_ref[out_base + co] = jnp.maximum(
+                out_ref[out_base + co], 0.0
+            )
+
+
+def _conv_stack_in_kernel(get_src, pad_ref, out_ref, w_ref, b_ref,
+                          layer_dims, ksize, H, W):
+    """Apply conv[ReLU conv]*(depth-1); result lands in out_ref[0:2C].
+
+    get_src(ci) yields the first layer's input planes; intermediate layer
+    outputs round-trip through out_ref -> pad_ref interior. layer_dims:
+    [(ci, co), ...]; weights flat-packed per layer in w_ref/b_ref.
+    """
+    p = ksize // 2
+    w_off = 0
+    b_off = 0
+    n_layers = len(layer_dims)
+    for li, (ci_n, co_n) in enumerate(layer_dims):
+        for ci in range(ci_n):
+            src = get_src(ci) if li == 0 else out_ref[ci]
+            pad_ref[ci, p:p + H, p:p + W] = src
+        _stencil_conv(
+            pad_ref, out_ref, 0, w_ref, b_ref, w_off, b_off, ci_n, co_n,
+            ksize, H, W, relu=(li < n_layers - 1),
+        )
+        w_off += ci_n * co_n * ksize * ksize
+        b_off += co_n
+
+
+def _v2_kernel(
+    ev_ref, iw_ref, ib_ref, gw_ref, gb_ref,
+    agg_ref,
+    vmem_ref, vavg_ref, spike_ref, seg_ref, tlast_ref, pad_ref,
+    inp_ref, rec_ref,
+    *,
+    Tm, Ts, C, Cin, depth, ksize, H, W,
+    thresh, vreset, readout, spike_attach, write_zero, use_abs,
+):
+    import jax.experimental.pallas as pl
+
+    t = pl.program_id(1)
+    f32 = jnp.float32
+    layer_dims = [(Cin, 2 * C)] + [(2 * C, 2 * C)] * (depth - 1)
+    layer_dims_g = [(C, 2 * C)] + [(2 * C, 2 * C)] * (depth - 1)
+
+    @pl.when(t == 0)
+    def _init():
+        vmem_ref[...] = jnp.zeros_like(vmem_ref)
+        vavg_ref[...] = jnp.zeros_like(vavg_ref)
+        spike_ref[...] = jnp.zeros_like(spike_ref)
+        seg_ref[...] = jnp.zeros_like(seg_ref)
+        tlast_ref[...] = jnp.full_like(tlast_ref, -1)
+        agg_ref[...] = jnp.zeros_like(agg_ref)
+        # zero borders (interiors are overwritten before every read)
+        pad_ref[...] = jnp.zeros_like(pad_ref)
+
+    # input conv stack on this step's event planes -> inp_ref[0:2C]
+    _conv_stack_in_kernel(
+        lambda ci: ev_ref[0, 0, ci], pad_ref, inp_ref, iw_ref, ib_ref,
+        layer_dims, ksize, H, W,
+    )
+    # gate conv stack on the previous spike planes -> rec_ref[0:2C]
+    _conv_stack_in_kernel(
+        lambda ci: spike_ref[ci], pad_ref, rec_ref, gw_ref, gb_ref,
+        layer_dims_g, ksize, H, W,
+    )
+
+    tf = t.astype(f32)
+    for c in range(C):
+        gate = jax.nn.sigmoid(inp_ref[c] + rec_ref[c])
+        current = inp_ref[C + c] + rec_ref[C + c]
+        v = gate * vmem_ref[c] + current
+        spike = (v - thresh > 0.0).astype(f32)
+        v_noreset = v
+        if vreset is None:
+            v_after = v - thresh * spike
+        else:
+            v_after = v * (1.0 - spike) + vreset * spike
+        vavg = vavg_ref[c] + v_noreset
+
+        seg = seg_ref[c]
+        spiked = spike > 0.5
+        valid = spiked & (seg < Ts)
+        if readout == "sum":
+            w = vavg
+        elif readout == "last":
+            w = v_after
+        elif readout == "avg":
+            dt = jnp.maximum(tf - tlast_ref[c], 1.0)
+            w = vavg / dt
+        else:
+            raise NotImplementedError(readout)
+        # forward-only: spike is exactly 0/1 on the valid set, so
+        # spike_attach does not change forward values — skip the multiply.
+        write = jnp.where(valid, w, 0.0)
+        for s in range(Ts):
+            agg_ref[0, s, c] = agg_ref[0, s, c] + jnp.where(
+                seg == s, write, 0.0
+            )
+        vmem_ref[c] = v_after
+        spike_ref[c] = spike
+        seg_ref[c] = seg + valid.astype(seg.dtype)
+        tlast_ref[c] = jnp.where(valid, tf, tlast_ref[c])
+        vavg_ref[c] = jnp.where(spiked, 0.0, vavg)
+
+    @pl.when(t == Tm - 1)
+    def _residual():
+        for c in range(C):
+            no_spike = spike_ref[c] <= 0.5
+            seg = seg_ref[c]
+            valid = no_spike & (seg < Ts)
+            if readout == "sum":
+                w = vavg_ref[c]
+            elif readout == "last":
+                w = vmem_ref[c]
+            else:  # avg
+                denom = jnp.maximum(float(Tm - 1) - tlast_ref[c], 1.0)
+                w = vavg_ref[c] / denom
+            if write_zero:
+                w = w * 0.0
+            write = jnp.where(valid, w, 0.0)
+            for s in range(Ts):
+                out = agg_ref[0, s, c] + jnp.where(seg == s, write, 0.0)
+                if use_abs:
+                    out = jnp.maximum(out, 0.0)
+                agg_ref[0, s, c] = out
+
+
+def _flat_w(weights):
+    """[(kernel HWIO, bias), ...] -> (flat_w, flat_b) in w[co,ci,dy,dx]
+    scalar order."""
+    ws, bs = [], []
+    for k, b in weights:
+        ws.append(jnp.transpose(k, (3, 2, 0, 1)).reshape(-1))  # OIHW flat
+        bs.append(b.reshape(-1))
+    return jnp.concatenate(ws).astype(jnp.float32), jnp.concatenate(
+        bs
+    ).astype(jnp.float32)
+
+
+def arsnn_fused_v2(
+    events: jnp.ndarray,
+    input_weights,
+    gate_weights,
+    *,
+    Ts: int,
+    thresh: float,
+    vreset: Optional[float],
+    readout: str = "sum",
+    spike_attach: bool = False,
+    write_zero: bool = False,
+    use_abs: bool = False,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Whole-scan-resident fused ARSNN sampler (forward only).
+
+    Args:
+      events: (Tm, N, H, W, Cin) time-major stack (already reversed).
+      input_weights / gate_weights: [(kernel (k,k,ci,co) HWIO, bias (co,)),
+        ...] for the depth-stacked convs.
+
+    Returns (Ts, N, H, W, C).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    Tm, N, H, W, Cin = events.shape
+    ksize = input_weights[0][0].shape[0]
+    C = input_weights[-1][0].shape[-1] // 2
+    depth = len(input_weights)
+    p = ksize // 2
+
+    # (Tm, N, H, W, C) -> (N, Tm, C, H, W): planes with W on lanes
+    ev = jnp.transpose(events, (1, 0, 4, 2, 3)).astype(jnp.float32)
+    iw, ib = _flat_w(input_weights)
+    gw, gb = _flat_w(gate_weights)
+
+    kernel = functools.partial(
+        _v2_kernel, Tm=Tm, Ts=Ts, C=C, Cin=Cin, depth=depth, ksize=ksize,
+        H=H, W=W, thresh=float(thresh),
+        vreset=None if vreset is None else float(vreset),
+        readout=readout, spike_attach=spike_attach, write_zero=write_zero,
+        use_abs=use_abs,
+    )
+    smem = lambda n: pl.BlockSpec(  # noqa: E731
+        (n,), lambda i, j: (0,), memory_space=pltpu.SMEM
+    )
+    agg = pl.pallas_call(
+        kernel,
+        grid=(N, Tm),
+        in_specs=[
+            pl.BlockSpec((1, 1, Cin, H, W), lambda n, t: (n, t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            smem(iw.shape[0]), smem(ib.shape[0]),
+            smem(gw.shape[0]), smem(gb.shape[0]),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, Ts, C, H, W), lambda n, t: (n, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((N, Ts, C, H, W), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((C, H, W), jnp.float32),       # vmem
+            pltpu.VMEM((C, H, W), jnp.float32),       # vavg
+            pltpu.VMEM((C, H, W), jnp.float32),       # spike
+            pltpu.VMEM((C, H, W), jnp.int32),         # seg
+            pltpu.VMEM((C, H, W), jnp.float32),       # t_last
+            pltpu.VMEM((2 * C, H + 2 * p, W + 2 * p), jnp.float32),  # pad
+            pltpu.VMEM((2 * C, H, W), jnp.float32),   # inp conv out
+            pltpu.VMEM((2 * C, H, W), jnp.float32),   # rec conv out
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(ev, iw, ib, gw, gb)
+    # (N, Ts, C, H, W) -> (Ts, N, H, W, C)
+    return jnp.transpose(agg, (1, 0, 3, 4, 2))

@@ -331,6 +331,22 @@ class TestSamplers:
         merged = [v for pair in zip(xa, xb) for v in pair]
         assert sorted(merged[:10]) == list(range(10))
 
+    @pytest.mark.parametrize("size,world", [(10, 2), (11, 3), (5, 8)])
+    def test_sequential_disjoint_cover_no_duplicates(self, size, world):
+        """map_val eval loaders must partition the dataset disjointly with
+        NO padding duplicates — the evaluator's single end-of-eval
+        allgather would double-count padded samples."""
+        from eas_snn_tpu.data.loader import SequentialSampler
+
+        parts = [
+            list(iter(SequentialSampler(size, rank=r, world_size=world)))
+            for r in range(world)
+        ]
+        flat = [i for p in parts for i in p]
+        assert sorted(flat) == list(range(size))  # cover, no dupes
+        for r, p in enumerate(parts):
+            assert len(p) == len(SequentialSampler(size, r, world))
+
 
 class TestFrameCache:
     def test_prestore_roundtrip(self, rng, tmp_path):
@@ -349,3 +365,50 @@ class TestFrameCache:
         # disk spill exists
         import glob
         assert glob.glob(str(tmp_path / "cache" / "*.npz"))
+
+
+class TestConcatDatasets:
+    class _Fake:
+        def __init__(self, n, tag):
+            self.n, self.tag = n, tag
+            self.input_size = (64, 64)
+            self.class_names = ("a", "b")
+            self.sample_names = [f"{tag}{i}" for i in range(n)]
+            self.mosaic_closed = False
+            self.training = True
+
+        def __len__(self):
+            return self.n
+
+        def __getitem__(self, idx):
+            if isinstance(idx, tuple):
+                return (self.tag, idx[1], "mix")
+            return (self.tag, idx)
+
+        def close_mosaic(self):
+            self.mosaic_closed = True
+
+    def test_concat_index_splicing(self):
+        from eas_snn_tpu.data import ConcatDataset
+
+        a, b = self._Fake(3, "a"), self._Fake(4, "b")
+        ds = ConcatDataset([a, b])
+        assert len(ds) == 7
+        assert ds[0] == ("a", 0) and ds[2] == ("a", 2)
+        assert ds[3] == ("b", 0) and ds[6] == ("b", 3)
+        assert ds[-1] == ("b", 3)
+        assert ds.sample_names == a.sample_names + b.sample_names
+        ds.close_mosaic()
+        assert a.mosaic_closed and b.mosaic_closed
+        ds.training = False
+        assert not a.training and not b.training
+
+    def test_mixconcat_tuple_index(self):
+        from eas_snn_tpu.data import MixConcatDataset
+
+        a, b = self._Fake(3, "a"), self._Fake(4, "b")
+        ds = MixConcatDataset([a, b])
+        # (mosaic_flag, global_idx) tuples rewrite the inner index
+        assert ds[(True, 4)] == ("b", 1, "mix")
+        assert ds[(False, 2)] == ("a", 2, "mix")
+        assert ds[5] == ("b", 2)

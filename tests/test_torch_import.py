@@ -102,3 +102,62 @@ def test_load_torch_pth_roundtrip(tmp_path):
     out = load_torch_state_dict(path)
     assert "backbone.lateral_conv0.conv.weight" in out
     assert out["backbone.lateral_conv0.conv.weight"].shape == (4, 2, 1, 1)
+
+
+def test_flagship_reference_checkpoint_end_to_end(tmp_path):
+    """VERDICT #7: a full reference-initialized checkpoint (flagship Gen1-S
+    geometry: arsnn depth-2 ksize-5 embedding + PAFPN + head), saved in the
+    reference trainer's .pth format, loads by model-zoo name through
+    models.build.load_weights with ZERO unmapped leaves and produces a
+    finite eval forward."""
+    torch = pytest.importorskip("torch")
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from refutil import install_ref_stubs
+
+    install_ref_stubs()
+
+    import jax
+    import jax.numpy as jnp
+
+    from yolox.models.embedding import AdaptiveRSNNEmbedding
+    from yolox.models.activation import Rectangle
+    from yolox.models.yolo_head import YOLOXHead as RefHead
+    from yolox.models.yolo_pafpn import YOLOPAFPN as RefPAFPN
+
+    from eas_snn_tpu.models.build import create_model, load_weights
+
+    depth, width, num_classes = 0.33, 0.50, 2
+    torch.manual_seed(33)
+    emb = AdaptiveRSNNEmbedding(
+        kernel_size=5, Ts=3, depth=2, readout="sum", write_zero=True,
+        spike_attach=False, nb_steps=4, thresh=1.0, vreset=None,
+        spike_fn=Rectangle,
+    )
+    back = RefPAFPN(depth, width, in_dim=2)
+    head = RefHead(num_classes, width)
+
+    sd = {}
+    for prefix, mod in (("embedding", emb), ("backbone", back), ("head", head)):
+        for k, v in mod.state_dict().items():
+            sd[f"{prefix}.{k}"] = v
+    path = str(tmp_path / "flagship_ref.pth")
+    torch.save({"model": sd, "start_epoch": 0}, path)
+
+    model = create_model("syolox-s-gen1", use_spike="none")
+    ev = jnp.zeros((1, 1, 4, 64, 64, 2), jnp.float32)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), ev, train=False
+    )
+    new_vars, report = load_weights(variables, path)
+    assert report["unmapped"] == 0, report
+    assert report["mapped"] > 100
+
+    x = jax.random.poisson(
+        jax.random.PRNGKey(1), 0.2, (1, 1, 4, 64, 64, 2)
+    ).astype(jnp.float32)
+    out = jax.jit(lambda v, e: model.apply(v, e, train=False))(new_vars, x)
+    arr = np.asarray(out.outputs if hasattr(out, "outputs") else out)
+    assert np.isfinite(arr).all() and arr.shape[-1] == 5 + num_classes

@@ -1,0 +1,258 @@
+#!/usr/bin/env python3
+"""Honest performance suite: MFU, train-step throughput, loader-in-the-loop.
+
+Three modes, each printing one JSON line (bench.py keeps the driver's
+single-line contract; this suite is the deeper evidence behind it):
+
+  fwd    — flagship SYOLOX-M Gen1 eval forward: frames/s + MFU%.
+  train  — flagship-geometry jitted train step (grads + optax + EMA):
+           frames/s + MFU% (fwd+bwd ~ 3x fwd conv FLOPs approximation).
+  loader — end-to-end frames/s with the INPUT PIPELINE IN THE LOOP: events
+           decoded from synthetic GEN1 `.dat` files by EventDataLoader
+           workers, host->device transfer, then the jitted eval forward.
+           Exposes what pre-staged device benches hide.
+
+MFU counts conv/linear MACs only (the sops accounting collection), so the
+reported number slightly UNDERestimates true utilization — elementwise and
+BN work rides free. Peak: TPU v5e (v5 lite) bf16 = 197 TFLOP/s/chip.
+
+Usage: python tools/bench_suite.py --mode fwd|train|loader [--batch N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+V5E_BF16_PEAK = 197e12  # FLOP/s per chip
+
+T = TS = 3
+TM = 4
+H, W = 256, 320  # Gen1 240x304 letterboxed to /32 multiples
+
+
+def _model(compute_dtype="bfloat16"):
+    from __graft_entry__ import _build_model
+
+    return _build_model(
+        depth=0.67, width=0.75, T=T, Ts=TS, Tm=TM,
+        compute_dtype=compute_dtype,
+    )
+
+
+def _conv_flops_per_frame(model, variables, sample) -> float:
+    from eas_snn_tpu.evaluators.energy import count_ops
+
+    ops = count_ops(model, variables, sample)
+    macs = sum(float(v[1]) for v in ops.values())
+    return 2.0 * macs / sample.shape[0]
+
+
+def _batches(B, n=4, seed=0):
+    import jax.numpy as jnp
+
+    host = np.random.default_rng(seed)
+    return [
+        jnp.asarray(
+            host.poisson(0.2, size=(B, 1, TM, H, W, 2)).astype(np.float32)
+        )
+        for _ in range(n)
+    ]
+
+
+def _pipelined_time(fn, batches, n_iters):
+    """Depth-1 software pipeline: steady-state throughput, forced results."""
+    prev = fn(batches[0])
+    t0 = time.perf_counter()
+    for i in range(1, n_iters):
+        s = fn(batches[i % len(batches)])
+        float(prev)
+        prev = s
+    float(prev)
+    return time.perf_counter() - t0
+
+
+def bench_fwd(B):
+    import jax
+    import jax.numpy as jnp
+
+    model = _model()
+    batches = _batches(B)
+    rng = jax.random.PRNGKey(0)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        rng, batches[0][:1], train=False
+    )
+    flops_frame = _conv_flops_per_frame(model, variables, batches[0][:1])
+
+    @jax.jit
+    def fwd(events):
+        out = model.apply(variables, events, train=False)
+        return out.sum()
+
+    fwd(batches[0])  # compile
+    n_iters = 12
+    dt = _pipelined_time(fwd, batches, n_iters)
+    fps = B * n_iters / dt
+    mfu = flops_frame * fps / V5E_BF16_PEAK
+    return {
+        "metric": "eval_fwd",
+        "frames_per_sec": round(fps, 2),
+        "conv_gflops_per_frame": round(flops_frame / 1e9, 2),
+        "mfu_pct": round(100 * mfu, 2),
+        "unit": f"SYOLOX-M Gen1 T=3 bf16, batch {B}",
+    }
+
+
+def bench_train(B):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from eas_snn_tpu.core.train_state import create_train_state, train_step
+
+    model = _model()
+    batches = _batches(B)
+    rng = jax.random.PRNGKey(0)
+    labels = jnp.tile(
+        jnp.asarray([[1.0, 120.0, 110.0, 40.0, 30.0]], jnp.float32)[None],
+        (B, 50, 1),
+    ) * jnp.asarray([1.0] + [1.0] * 4)
+    labels = labels.at[:, 5:].set(0.0)  # 5 valid gts per image
+
+    state = create_train_state(
+        model, rng, batches[0][:1], labels[:1], optax.adam(1e-4),
+        use_ema=True,
+    )
+    flops_frame = _conv_flops_per_frame(
+        model, {"params": state.params, "batch_stats": state.batch_stats},
+        batches[0][:1],
+    )
+
+    def step(events):
+        nonlocal state
+        state, metrics = train_step(
+            state, events, labels, use_l1=False, ema_decay=0.9998
+        )
+        return metrics["total_loss"]
+
+    step(batches[0])  # compile
+    n_iters = 10
+    dt = _pipelined_time(step, batches, n_iters)
+    fps = B * n_iters / dt
+    # fwd + bwd ~ 3x fwd conv FLOPs (standard approximation)
+    mfu = 3.0 * flops_frame * fps / V5E_BF16_PEAK
+    return {
+        "metric": "train_step",
+        "frames_per_sec": round(fps, 2),
+        "conv_gflops_per_frame_fwd": round(flops_frame / 1e9, 2),
+        "mfu_pct_3x_approx": round(100 * mfu, 2),
+        "unit": f"SYOLOX-M Gen1 T=3 bf16 train step, batch {B}",
+    }
+
+
+def _synth_gen1_dir(root, n_streams=4, labels_per_stream=24, seed=7):
+    from eas_snn_tpu.data.psee_io import write_bboxes_npy, write_dat_events
+
+    os.makedirs(root, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    for s in range(n_streams):
+        dur = 60_000_000  # 60 s
+        n = 2_000_000     # ~33 kev/s, GEN1-like density
+        t = np.sort(rng.integers(0, dur, size=n)).astype(np.uint32)
+        write_dat_events(
+            os.path.join(root, f"bench{s}_td.dat"), t,
+            rng.integers(0, 304, n), rng.integers(0, 240, n),
+            rng.integers(0, 2, n), 240, 304,
+        )
+        rows = []
+        for k in range(labels_per_stream):
+            lt = int((k + 1) * dur / (labels_per_stream + 1))
+            rows.append((lt, 40 + (k % 5) * 20, 50, 60, 40, k % 2, 0, 1.0))
+        write_bboxes_npy(os.path.join(root, f"bench{s}_bbox.npy"), rows)
+    return root
+
+
+def bench_loader(B, workers=8):
+    import jax
+    import jax.numpy as jnp
+
+    from eas_snn_tpu.data import EventDataLoader
+    from eas_snn_tpu.data.gen1 import Gen1Dataset
+
+    root = _synth_gen1_dir("/tmp/bench_gen1")
+    ds = Gen1Dataset(
+        root, input_size=(H, W), training=True, aggregation="micro_sum",
+        num_slice=1, micro_slice=TM, window=(-200_000, 0),
+    )
+    loader = EventDataLoader(
+        ds, batch_size=B, shuffle=True, infinite=True, num_workers=workers,
+    )
+
+    model = _model()
+    rng = jax.random.PRNGKey(0)
+    it = iter(loader)
+    frames, _, _, _ = next(it)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        rng, jnp.asarray(frames[:1]), train=False
+    )
+
+    @jax.jit
+    def fwd(events):
+        return model.apply(variables, events, train=False).sum()
+
+    fwd(jnp.asarray(frames))  # compile
+
+    n_iters = 10
+    prev = None
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        frames, _, _, _ = next(it)
+        s = fwd(jnp.asarray(frames))
+        if prev is not None:
+            float(prev)
+        prev = s
+    float(prev)
+    dt = time.perf_counter() - t0
+    fps = B * n_iters / dt
+    return {
+        "metric": "loader_in_the_loop",
+        "frames_per_sec": round(fps, 2),
+        "unit": (
+            f"SYOLOX-M Gen1 T=3 bf16 eval fwd, batch {B}, "
+            f"{workers} loader workers, raw .dat -> micro_sum on host"
+        ),
+        "dataset_profile": {
+            k: round(v, 3) for k, v in ds.profile.items()
+        },
+    }
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--mode", choices=["fwd", "train", "loader"], default="fwd")
+    p.add_argument("--batch", type=int, default=None)
+    p.add_argument("--workers", type=int, default=8)
+    args = p.parse_args()
+
+    from eas_snn_tpu.utils.jax_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    if args.mode == "fwd":
+        out = bench_fwd(args.batch or 64)
+    elif args.mode == "train":
+        out = bench_train(args.batch or 32)
+    else:
+        out = bench_loader(args.batch or 64, workers=args.workers)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
