@@ -50,7 +50,9 @@ def main():
         )
         for _ in range(4)
     ]
-    variables = model.init(rng, batches[0][:1], train=False)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        rng, batches[0][:1], train=False
+    )
 
     @jax.jit
     def fwd(variables, events):

@@ -42,8 +42,26 @@ def polarity_histogram(events: np.ndarray, height: int, width: int) -> np.ndarra
     """2-channel polarity count image (H, W, 2), float32.
 
     (reference 'sum' aggregation: gen1.py:333-349 — per-polarity bincount
-    over flattened pixel indices)
+    over flattened pixel indices; a native single-pass core replaces the
+    ``np.add.at`` scatter when the toolchain is available — the reference's
+    known CPU bottleneck, gen1.py:84)
     """
+    if len(events):
+        from .fastbin import load_native
+
+        lib = load_native()
+        if lib is not None:
+            out = np.zeros((2, height * width), np.float32)
+            lib.polarity_histogram(
+                len(events),
+                np.ascontiguousarray(events["x"]),
+                np.ascontiguousarray(events["y"]),
+                np.ascontiguousarray(events["p"]),
+                height, width, out,
+            )
+            return np.moveaxis(
+                out.reshape(2, height, width), 0, -1
+            ).copy()
     out = np.zeros((height * width, 2), np.float32)
     if len(events):
         idx = events["y"].astype(np.int64) * width + events["x"].astype(np.int64)
@@ -77,7 +95,29 @@ def slice_time_windows(
 
 def micro_sum(events: np.ndarray, n_micro: int, height: int, width: int) -> np.ndarray:
     """(Tm, H, W, 2) stack of per-micro-window polarity histograms
-    (reference 'micro_sum': gen1.py:356-360)."""
+    (reference 'micro_sum': gen1.py:356-360; one native pass over the
+    events replaces Tm searchsorted slices + Tm scatters when available —
+    identical bin-edge semantics, tested in test_data.py)."""
+    if len(events):
+        from .fastbin import load_native
+
+        lib = load_native()
+        if lib is not None:
+            t0 = int(events["t"][0])
+            tw = (int(events["t"][-1]) - t0) // n_micro
+            out = np.zeros((n_micro, 2, height * width), np.float32)
+            if tw > 0:
+                lib.micro_sum(
+                    len(events),
+                    np.ascontiguousarray(events["t"], np.int64),
+                    np.ascontiguousarray(events["x"]),
+                    np.ascontiguousarray(events["y"]),
+                    np.ascontiguousarray(events["p"]),
+                    t0, tw, n_micro, height, width, out,
+                )
+            return np.moveaxis(
+                out.reshape(n_micro, 2, height, width), 1, -1
+            ).copy()
     out = np.zeros((n_micro, height, width, 2), np.float32)
     if len(events):
         slices, _ = slice_time_windows(events, n_micro)

@@ -7,6 +7,7 @@ evaluation}.py, yolox/layers/* — see SURVEY.md §2.8.)
 
 from .coco_map import DetEval, EvalResults, summarize
 from .energy import count_ops, estimate_energy
+from .voc_eval import VOCDetEval, voc_ap, voc_eval_class
 from .event_evaluator import EventEvaluator, PSEEEvaluator
 from .prophesee import (
     PropheseeEvaluator,
@@ -17,6 +18,7 @@ from .prophesee import (
 )
 
 __all__ = [
+    "VOCDetEval", "voc_ap", "voc_eval_class",
     "DetEval", "EvalResults", "summarize",
     "EventEvaluator", "PSEEEvaluator",
     "PropheseeEvaluator", "evaluate_lists", "filter_boxes", "match_times",

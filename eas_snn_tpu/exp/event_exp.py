@@ -66,6 +66,8 @@ class EventExp(BaseExp):
         self.spike_fn = "rect"
         # conv/BN compute dtype: 'float32' | 'bfloat16' (MXU fast path)
         self.compute_dtype = "float32"
+        # 'never'|'auto'|'always': fused Pallas ARSNN eval kernel
+        self.use_pallas = "never"
         # rematerialize backbone activations in backward (memory saver)
         self.remat = False
         self.data_name = "n-caltech"
@@ -135,11 +137,13 @@ class EventExp(BaseExp):
             spike_attach=self.spike_attach,
             write_zero=self.write_zero,
             use_abs=self.abs,
+            split=self.split,
             thresh=float(self.thresh),
             vreset=None if self.reset is None else float(self.reset),
             decay=self.decay,
             compute_dtype=self.compute_dtype,
             remat=self.remat,
+            use_pallas=self.use_pallas,
         )
 
     def get_slice_args(self) -> dict:

@@ -319,6 +319,7 @@ def build_embedding(
     decay: float = 0.5,
     spike_fn: str = "rect",
     alpha: float = 1.0,
+    use_pallas: str = "never",
 ) -> nn.Module:
     """Embedding factory mirroring the reference's embedding_dict
     (reference: yolox/exp/event_yolox_base.py:166-177). The embedding's spike
@@ -343,6 +344,7 @@ def build_embedding(
             ksize=ksize, depth=depth, Ts=Ts, readout=readout,
             spike_attach=spike_attach, write_zero=write_zero, use_abs=use_abs,
             split=split, thresh=thresh, vreset=vreset, spike_fn=spike_fn,
-            alpha=alpha, dtype=dtype, name="embedding",
+            alpha=alpha, dtype=dtype, use_pallas=use_pallas,
+            name="embedding",
         )
     raise KeyError(f"unknown embedding '{name}'")

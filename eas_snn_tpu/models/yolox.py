@@ -54,6 +54,7 @@ class EASYOLOX(nn.Module):
     spike_attach: bool = False
     write_zero: bool = False
     use_abs: bool = False
+    split: bool = False
     thresh: float = 1.0
     vreset: Optional[float] = 0.0
     decay: float = 0.5
@@ -63,6 +64,10 @@ class EASYOLOX(nn.Module):
     # rematerialize the backbone+neck in the backward pass (activation
     # memory ~ O(1) in T instead of O(T) for spiking backbones)
     remat: bool = False
+    # 'never' | 'auto' | 'always' — route the ARSNN embedding's eval
+    # forward through the whole-scan-resident Pallas kernel
+    # (ops/arsnn_pallas.py:arsnn_fused_v2) when the geometry supports it
+    use_pallas: str = "never"
 
     def setup(self):
         assert self.use_spike in USE_SPIKE_MODES, self.use_spike
@@ -97,9 +102,11 @@ class EASYOLOX(nn.Module):
             spike_attach=self.spike_attach,
             write_zero=self.write_zero,
             use_abs=self.use_abs,
+            split=self.split,
             thresh=self.thresh,
             vreset=self.vreset,
             decay=self.decay,
+            use_pallas=self.use_pallas,
         )
         import jax.numpy as jnp_
 

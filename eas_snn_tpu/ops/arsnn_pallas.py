@@ -1,27 +1,32 @@
-"""Pallas-fused ARSNN adaptive-sampling step.
+"""Pallas-fused ARSNN adaptive sampling (the paper's hot loop).
 
 The scientific hot loop (reference: yolox/models/embedding.py:170-201;
-SURVEY.md §3.5) interleaves a recurrent gate conv (MXU, stays in XLA) with a
-long elementwise chain: gated LIF membrane update, surrogate threshold,
-soft/hard reset, running no-reset integral, segment bookkeeping, and the
-masked one-hot write into the ``Ts`` aggregation slots (incl. Spike-Aware
-``spike_attach`` and the RPD ``write_zero`` path at the end). This module
-fuses that whole chain — membrane update, threshold/reset, readout,
-segment scatter — into ONE Pallas kernel per scan step: a single pass over
-the state tiles in VMEM instead of XLA's several fusions, with the
-(Ts, ...) aggregation updated in place via ``input_output_aliases``.
+SURVEY.md §3.5) interleaves a recurrent gate conv with a long elementwise
+chain: gated LIF membrane update, surrogate threshold, soft/hard reset,
+running no-reset integral, segment bookkeeping, and the masked one-hot
+write into the ``Ts`` aggregation slots (incl. Spike-Aware ``spike_attach``
+and the RPD ``write_zero`` path at the end).
 
-Status: equivalence-tested against the XLA scan for every readout/reset/
-SAT/RPD combination, but honest forced-materialization profiling on v5e
-measures XLA's own scan fusion FASTER (~13 vs ~49 ms device for the Gen1-M
-embedding) — per-step kernel launches and HBM round-trips of the (Ts, ...)
-aggregation dominate. The kernel therefore stays opt-in
-(``ARSNNEmbedding(use_pallas='always')``); a whole-scan-resident redesign
-(aggregation pinned in VMEM across steps, conv results DMA'd in) is the
-planned follow-up.
+Two generations live here:
 
-Layout: all state is flattened to (R, 128) lanes and tiled over a 1-D grid;
-the aggregation rides along as (Ts, R, 128).
+* **v1** (``arsnn_scan_fused``): one Pallas kernel per scan step fusing the
+  elementwise chain over (R, 128) tiles; convs stay in XLA. Slower than
+  the XLA scan (per-step HBM round-trips of all state) — kept for its
+  simplicity and as a second equivalence reference.
+* **v2** (``arsnn_fused_v2``): the WHOLE scan in one pallas_call, grid
+  (N, Tm) with time innermost (TPU grid iterations are sequential and
+  scratch persists across them). Per batch element, every state tensor and
+  the aggregation stay resident in VMEM for all Tm steps, and BOTH
+  depth-stacked convs are computed inside the kernel as roll-based
+  shift-FMA stencils accumulated in-place in VMEM scratch.
+  This sidesteps XLA's channel-lane padding tax on C=2 NHWC convs
+  entirely, and computes convs in TRUE f32 — the XLA path's convs use the
+  TPU default matmul precision (bf16 multiplies), so v2 is the more
+  faithful branch: on-chip it matches the XLA scan bit-tight only when
+  XLA runs at ``jax_default_matmul_precision=highest`` (chaotic threshold
+  dynamics amplify any lower-precision difference into visibly different
+  spike trains; both are "correct", v2 is closer to the f32 reference).
+  Forward-only: the XLA scan's VJP defines training gradients.
 """
 
 from __future__ import annotations
@@ -320,45 +325,69 @@ def _stencil_conv(pad_ref, out_ref, out_base, w_ref, b_ref, w_off, b_off,
                   ci_n, co_n, ksize, H, W, relu):
     """out_ref[out_base + co] = (relu?)(bias + sum_{ci,dy,dx} w*shifted(pad))
 
-    pad_ref: (Cmax, H+2p, W+2p) zero-bordered scratch whose interior holds
-    the layer input. Weights/biases are flat SMEM scalars at the given
-    offsets, layout w[co, ci, dy, dx] (torch OIHW order -> flat).
+    pad_ref: (Cmax, H+pad, Wpad) zero-bordered scratch whose interior holds
+    the layer input (Wpad is lane-aligned; columns beyond W+2p stay zero).
+    Weights/biases are flat SMEM scalars, layout w[co, ci, dy, dx].
 
-    Two Mosaic survival rules shape this code:
-      * dx shifts use ``pltpu.roll`` on a loaded (H, W+2p) row band + an
-        ALIGNED [:W] slice — dynamic unaligned slices are rejected and
-        ksize^2*ci*co distinct unaligned static slices compile unusably
-        slowly. The wrap-around columns never reach [:W] because the band
-        is 2p wider than the output.
-      * accumulation is IN-PLACE into scratch (`out_ref[co] += w*xs`) —
-        carrying hundreds of full-plane SSA values through the unrolled
-        stencil made the register allocator spill ~190 MB of VMEM.
+    Mosaic-survival design (each rule bought an order of magnitude):
+      * fully-unrolled stencils (ksize^2*ci*co slice-FMAs) either spill
+        ~190 MB of VMEM (value accumulators) or compile >15 min remotely —
+        ci/dx/co are RUNTIME fori_loops (dynamic leading-dim ref indexing
+        and dynamic roll shifts are legal); only dy stays unrolled because
+        its sublane slice offset must be static;
+      * dynamic unaligned lane slices are rejected — the dx shift is a
+        ``pltpu.roll`` on the loaded row band + an ALIGNED [:W] slice (the
+        lane-aligned buffer's zero columns wrap in, never reaching [:W]);
+      * accumulation is IN-PLACE into scratch (`out_ref[co] += w*xs`) so
+        the unrolled body carries no full-plane SSA values. A
+        register-resident row-block variant (RB=64 value accumulators) was
+        measured SLOWER (14.3 vs 10.3 ms/apply at Gen1-M geometry): the
+        extra sublane rolls and loop scaffolding cost more than the saved
+        VMEM read-modify-writes.
     """
     from jax.experimental.pallas import tpu as pltpu
 
-    wp = W + 2 * (ksize // 2)  # logical band width
-    for co in range(co_n):
+    wp = pad_ref.shape[-1]  # lane-aligned padded width
+
+    def bias_body(co, _):
         out_ref[out_base + co] = jnp.full((H, W), b_ref[b_off + co],
                                           jnp.float32)
-    for ci in range(ci_n):
-        for dy in range(ksize):
-            band = pad_ref[ci, dy:dy + H, :]          # (H, W + 2p)
-            for dx in range(ksize):
+        return 0
+
+    jax.lax.fori_loop(0, co_n, bias_body, 0)
+
+    for dy in range(ksize):  # static: sublane slice offset
+
+        def ci_body(ci, _, dy=dy):
+            band = pad_ref[ci, dy:dy + H, :]          # (H, Wpad)
+
+            def dx_body(dx, _):
                 # left-shift by dx == non-negative roll by wp - dx
-                xs = (
-                    pltpu.roll(band, wp - dx, 1)[:, :W] if dx
-                    else band[:, :W]
-                )
-                for co in range(co_n):
+                xs = pltpu.roll(band, wp - dx, 1)[:, :W]
+
+                def co_body(co, _):
                     w = w_ref[
-                        w_off + ((co * ci_n + ci) * ksize + dy) * ksize + dx
+                        w_off
+                        + ((co * ci_n + ci) * ksize + dy) * ksize + dx
                     ]
-                    out_ref[out_base + co] = out_ref[out_base + co] + w * xs
+                    out_ref[out_base + co] = (
+                        out_ref[out_base + co] + w * xs
+                    )
+                    return 0
+
+                return jax.lax.fori_loop(0, co_n, co_body, 0)
+
+            return jax.lax.fori_loop(0, ksize, dx_body, 0)
+
+        jax.lax.fori_loop(0, ci_n, ci_body, 0)
+
     if relu:
-        for co in range(co_n):
-            out_ref[out_base + co] = jnp.maximum(
-                out_ref[out_base + co], 0.0
-            )
+
+        def relu_body(co, _):
+            out_ref[out_base + co] = jnp.maximum(out_ref[out_base + co], 0.0)
+            return 0
+
+        jax.lax.fori_loop(0, co_n, relu_body, 0)
 
 
 def _conv_stack_in_kernel(get_src, pad_ref, out_ref, w_ref, b_ref,
@@ -563,7 +592,17 @@ def arsnn_fused_v2(
             pltpu.VMEM((C, H, W), jnp.float32),       # spike
             pltpu.VMEM((C, H, W), jnp.int32),         # seg
             pltpu.VMEM((C, H, W), jnp.float32),       # t_last
-            pltpu.VMEM((2 * C, H + 2 * p, W + 2 * p), jnp.float32),  # pad
+            # width padded to a lane multiple for dynamic rotates; height
+            # padded to an 8-aligned margin so row-block reads of
+            # RB + align(2p) rows stay in bounds
+            pltpu.VMEM(
+                (
+                    2 * C,
+                    H + ((2 * p + 7) // 8) * 8,
+                    -(-(W + 2 * p) // _LANES) * _LANES,
+                ),
+                jnp.float32,
+            ),  # pad
             pltpu.VMEM((2 * C, H, W), jnp.float32),   # inp conv out
             pltpu.VMEM((2 * C, H, W), jnp.float32),   # rec conv out
         ],

@@ -105,7 +105,7 @@ class TestFusedV2:
         from eas_snn_tpu.ops.arsnn_pallas import arsnn_fused_v2
 
         rng = jax.random.PRNGKey(5)
-        Tm, N, H, W, C = 4, 2, 10, 12, 2
+        Tm, N, H, W, C = 4, 2, 16, 12, 2
         events = jax.random.normal(rng, (Tm, N, H, W, C)) * 2.0
         iw, input_conv = make_weighted_convs(
             jax.random.fold_in(rng, 1), C, C, ksize=3, depth=2
@@ -132,7 +132,7 @@ class TestFusedV2:
         from eas_snn_tpu.ops.arsnn_pallas import arsnn_fused_v2
 
         rng = jax.random.PRNGKey(8)
-        Tm, N, H, W, C = 3, 1, 9, 17, 2
+        Tm, N, H, W, C = 3, 1, 16, 17, 2
         events = jax.random.normal(rng, (Tm, N, H, W, C)) * 2.0
         iw, input_conv = make_weighted_convs(
             jax.random.fold_in(rng, 1), C, C, ksize=5, depth=1

@@ -205,3 +205,50 @@ class TestEnergy:
         e = estimate_energy(m, variables, events)
         assert e["total_energy_mJ"] > 0
         assert e["sops"] > 0
+
+
+class TestVOCEval:
+    def _toy(self):
+        # 2 images, 1 class; 3 gts, 4 dets (1 dup on same gt, 1 miss)
+        gt = np.array([
+            [0, 0, 10, 10, 50, 50, 0],
+            [0, 0, 60, 60, 90, 90, 0],
+            [1, 0, 20, 20, 40, 40, 0],
+        ], np.float64)
+        det = np.array([
+            [0, 0, 11, 11, 49, 49, 0.9],   # tp
+            [0, 0, 12, 10, 50, 52, 0.8],   # dup -> fp
+            [1, 0, 21, 19, 41, 40, 0.7],   # tp
+            [1, 0, 200, 200, 220, 220, 0.6],  # fp
+        ], np.float64)
+        return det, gt
+
+    def test_matches_reference_formula(self):
+        """Bit-parity vs the reference's voc_eval on the same toy case."""
+        import sys, os
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from refutil import install_ref_stubs
+
+        install_ref_stubs()
+        from yolox.evaluators.voc_eval import voc_ap as ref_voc_ap
+
+        from eas_snn_tpu.evaluators import VOCDetEval, voc_ap
+
+        det, gt = self._toy()
+        for use07 in (False, True):
+            mAP, per_class = VOCDetEval(1, use_07_metric=use07).evaluate(det, gt)
+            # expected: tp=[1,0,1,0] in confidence order -> rec/prec curve
+            rec = np.array([1 / 3, 1 / 3, 2 / 3, 2 / 3])
+            prec = np.array([1.0, 0.5, 2 / 3, 0.5])
+            expect = ref_voc_ap(rec, prec, use07)
+            assert mAP == pytest.approx(expect, abs=1e-9)
+            assert voc_ap(rec, prec, use07) == pytest.approx(expect, abs=1e-12)
+
+    def test_difficult_excluded(self):
+        from eas_snn_tpu.evaluators import VOCDetEval
+
+        det, gt = self._toy()
+        gt[1, 6] = 1  # second gt difficult
+        mAP, _ = VOCDetEval(1).evaluate(det, gt)
+        # npos becomes 2; both tps hit non-difficult boxes -> recall 1.0 tail
+        assert 0.5 < mAP <= 1.0
