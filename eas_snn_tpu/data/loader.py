@@ -7,10 +7,15 @@ data_prefetcher.py:8-52) with a dependency-free pipeline:
   * ``InfiniteSampler`` — seeded infinite shuffled index stream, strided by
     (process_index, process_count) for multi-host DP (the reference strides
     by DDP rank, samplers.py:69-73);
-  * ``EventDataLoader`` — thread-pool workers decode/augment samples ahead
-    of time into a bounded prefetch queue (the host-side analogue of the
+  * ``EventDataLoader`` — worker pool decodes/augments samples ahead of
+    time into a bounded prefetch pipeline (the host-side analogue of the
     CUDA-stream DataPrefetcher; on TPU the transfer overlap comes from
-    ``jax.device_put`` on the next batch while the current step runs);
+    ``jax.device_put`` on the next batch while the current step runs).
+    ``worker_mode='process'`` forks per-batch worker processes (the
+    reference's torch multi-process workers, dataloading.py:32-113) —
+    measured 8 GIL-bound threads at 16 samples/s vs 67 samples/s for ONE
+    thread on the Gen1 path, so processes are the default for training;
+    ``'thread'`` remains for map_val / tests / interactive use;
   * train collate stacks frames to (B, Tl, Tm, H, W, C) float32 and labels
     to (B, max_labels, 5); eval collate keeps per-image box lists
     (reference gen1_collact_func: gen1.py:524-528).
@@ -104,8 +109,55 @@ def collate_event_batch(samples: Sequence, stack_labels: bool):
     return frames, labels, img_sizes, ids
 
 
+def _proc_worker_main(dataset, in_q, out_q, stack_labels, seed, wid,
+                      shm_names):
+    """Batch worker loop (fork start method keeps mmap'd event streams).
+
+    Each worker collates its whole batch, then writes the (big) frame
+    tensor straight into a shared-memory ring slot — pickling ~170 MB
+    batches through a multiprocessing queue measured SLOWER than the
+    GIL-bound thread pool; with the shm ring only the small arrays
+    (labels/sizes/ids) ride the queue. Per-worker RNG reseed mirrors the
+    reference's worker_init_reset_seed (dataloading.py:109-113)."""
+    from multiprocessing import shared_memory
+
+    if hasattr(dataset, "rng"):
+        dataset.rng = np.random.default_rng(seed + 1000 * (wid + 1))
+    shms = {}
+    try:
+        while True:
+            task = in_q.get()
+            if task is None:
+                break
+            bid, idxs, slot = task
+            samples = [dataset[i] for i in idxs]
+            frames, labels, sizes, ids = collate_event_batch(
+                samples, stack_labels
+            )
+            if slot is not None and not isinstance(frames, tuple):
+                if slot not in shms:
+                    shms[slot] = shared_memory.SharedMemory(
+                        name=shm_names[slot]
+                    )
+                view = np.ndarray(
+                    frames.shape, frames.dtype, buffer=shms[slot].buf
+                )
+                view[...] = frames
+                out_q.put(
+                    (bid, slot, frames.shape, str(frames.dtype),
+                     labels, sizes, ids)
+                )
+            else:
+                out_q.put((bid, None, None, None,
+                           (frames, labels, sizes, ids), None, None))
+    finally:
+        for shm in shms.values():
+            shm.close()
+
+
 class EventDataLoader:
-    """Threaded prefetching loader over an ``EventDetDataset``."""
+    """Prefetching loader over an ``EventDetDataset`` with thread or
+    forked-process workers."""
 
     def __init__(
         self,
@@ -118,12 +170,21 @@ class EventDataLoader:
         rank: int = 0,
         world_size: int = 1,
         prefetch_batches: int = 2,
+        worker_mode: str = "thread",
     ):
+        import os as _os
+
         self.dataset = dataset
         self.batch_size = batch_size
         self.infinite = infinite
-        self.num_workers = max(num_workers, 1)
+        # more workers than spare cores is strictly counterproductive:
+        # measured on a 1-core host, 1 thread = 59 samples/s,
+        # 2 threads = 37, 8 threads = 16 (pure context-switch loss)
+        cpu_cap = max(1, (_os.cpu_count() or 1) - 1)
+        self.num_workers = max(1, min(num_workers, cpu_cap))
         self.prefetch_batches = prefetch_batches
+        self.worker_mode = worker_mode if cpu_cap > 1 else "thread"
+        self.seed = seed
         self.stack_labels = not getattr(dataset, "map_val", False)
         if infinite:
             self.sampler = InfiniteSampler(
@@ -151,6 +212,9 @@ class EventDataLoader:
             yield batch
 
     def __iter__(self):
+        if self.worker_mode == "process":
+            yield from self._iter_processes()
+            return
         pool = ThreadPoolExecutor(max_workers=self.num_workers)
         pending: "queue.Queue" = queue.Queue()
         batches = self._batches()
@@ -180,3 +244,108 @@ class EventDataLoader:
                 # interpreter teardown may have GC'd executor internals when
                 # a generator is finalized at exit; nothing left to release
                 pass
+
+
+    def _iter_processes(self):
+        """Forked batch workers + a shared-memory ring for the frame
+        tensors; results reordered to submission order."""
+        import multiprocessing as mp
+        from multiprocessing import shared_memory
+
+        ctx = mp.get_context("fork")
+        n_slots = self.num_workers + self.prefetch_batches
+        # probe one sample for the frame payload size (tuple frames from
+        # raw-events mode are small and skip the ring)
+        probe = self.dataset[0][0]
+        use_shm = not isinstance(probe, tuple)
+        shm_blocks, shm_names = [], []
+        if use_shm:
+            nbytes = int(np.prod(probe.shape)) * 4 * self.batch_size
+            for i in range(n_slots):
+                blk = shared_memory.SharedMemory(create=True, size=nbytes)
+                shm_blocks.append(blk)
+                shm_names.append(blk.name)
+
+        in_q = ctx.Queue()
+        out_q = ctx.Queue()
+        workers = [
+            ctx.Process(
+                target=_proc_worker_main,
+                args=(self.dataset, in_q, out_q, self.stack_labels,
+                      self.seed, wid, shm_names),
+                daemon=True,
+            )
+            for wid in range(self.num_workers)
+        ]
+        for w in workers:
+            w.start()
+
+        batches = self._batches()
+        next_submit = 0
+        next_yield = 0
+        buffered = {}
+        free_slots = list(range(n_slots)) if use_shm else [None] * n_slots
+
+        def submit():
+            nonlocal next_submit
+            if not free_slots:
+                return False
+            try:
+                idxs = next(batches)
+            except StopIteration:
+                return False
+            in_q.put((next_submit, idxs, free_slots.pop()))
+            next_submit += 1
+            return True
+
+        def decode(msg):
+            bid, slot, shape, dtype, small, sizes, ids = msg
+            if slot is None:
+                frames, labels, sizes, ids = small
+            else:
+                view = np.ndarray(
+                    shape, np.dtype(dtype), buffer=shm_blocks[slot].buf
+                )
+                frames = np.array(view)  # copy out; slot is reused
+                labels = small
+                free_slots.append(slot)
+            if slot is None:
+                free_slots.append(None)
+            return frames, labels, sizes, ids
+
+        try:
+            in_flight = 0
+            for _ in range(n_slots):
+                if submit():
+                    in_flight += 1
+                else:
+                    break
+            while in_flight > 0:
+                while next_yield not in buffered:
+                    msg = out_q.get()
+                    buffered[msg[0]] = msg
+                msg = buffered.pop(next_yield)
+                next_yield += 1
+                in_flight -= 1
+                batch = decode(msg)
+                if submit():
+                    in_flight += 1
+                yield batch
+        finally:
+            for _ in workers:
+                try:
+                    in_q.put(None)
+                except Exception:
+                    pass
+            for w in workers:
+                try:
+                    w.terminate()
+                    w.join(timeout=2)
+                except Exception:
+                    pass
+            for blk in shm_blocks:
+                try:
+                    blk.close()
+                    blk.unlink()
+                except Exception:
+                    pass

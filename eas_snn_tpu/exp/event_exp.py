@@ -73,6 +73,9 @@ class EventExp(BaseExp):
         self.data_name = "n-caltech"
         # ---------------- dataloader config (reference :61-79) -----------
         self.data_num_workers = 4
+        # 'thread' | 'process' (forked workers + shared-memory frame ring;
+        # wins on multi-core hosts, auto-falls back to thread on 1-core)
+        self.data_worker_mode = "process"
         self.measure = "count"
         self.input_size = (640, 640)
         # every N train iters pick a random size from
@@ -192,6 +195,7 @@ class EventExp(BaseExp):
             seed=self.seed or seed,
             rank=jax.process_index(),
             world_size=jax.process_count(),
+            worker_mode=self.data_worker_mode if training else "thread",
         )
 
     def get_lr_schedule(self, batch_size: int, iters_per_epoch: int):

@@ -412,3 +412,32 @@ class TestConcatDatasets:
         assert ds[(True, 4)] == ("b", 1, "mix")
         assert ds[(False, 2)] == ("a", 2, "mix")
         assert ds[5] == ("b", 2)
+
+
+class TestProcessLoader:
+    def test_process_mode_yields_correct_batches(self, rng, tmp_path):
+        """Forked workers + shm ring must deliver the same sample CONTENT
+        as direct indexing (augmentation rng differs by design — compare in
+        val mode where the path is deterministic)."""
+        root = build_gen1_tree(tmp_path, rng)
+        ds = Gen1Dataset(
+            root, input_size=(64, 64), training=False,
+            aggregation="sum", num_slice=1, micro_slice=1,
+            window=(-100_000, 0),
+        )
+        loader = EventDataLoader(
+            ds, batch_size=2, shuffle=False, infinite=False,
+            num_workers=2, worker_mode="process",
+        )
+        # force process mode even on a 1-core host for the test
+        loader.worker_mode = "process"
+        seen = []
+        for frames, labels, sizes, ids in loader:
+            assert frames.shape[1:] == (1, 64, 64, 2)
+            for k, sid in enumerate(ids):
+                ref_frames, ref_labels, _, ref_sid = ds[int(sid)]
+                assert ref_sid == sid
+                np.testing.assert_array_equal(frames[k], ref_frames)
+                np.testing.assert_array_equal(labels[k], ref_labels)
+                seen.append(int(sid))
+        assert sorted(seen) == list(range(len(ds)))
