@@ -31,6 +31,13 @@ from flax import linen as nn
 from ..ops.arsnn import arsnn_scan, gated_lif_update
 from ..ops.arsnn_pallas import arsnn_scan_fused
 from ..ops.lif import lif_step
+from ..ops.pack import (
+    depth_to_space,
+    pack_bias,
+    pack_conv_kernel,
+    packable,
+    space_to_depth,
+)
 from ..ops.surrogate import get_spike_fn
 
 __all__ = [
@@ -93,6 +100,31 @@ def _conv_stack_fn(
         return x.astype(out_dtype)
 
     apply.weights = weights  # raw (kernel HWIO, bias) pairs for fused paths
+    return apply
+
+
+def _packed_conv_apply(weights, block: int, dtype=None):
+    """Packed-space (space-to-depth) conv stack equivalent to the stack
+    defined by ``weights`` — see ops/pack.py. One 3x3 conv with full lane
+    channels replaces each small-channel stencil conv."""
+    packed = [
+        (pack_conv_kernel(k, block), pack_bias(b, block)) for k, b in weights
+    ]
+    pad = [(1, 1), (1, 1)]
+
+    def apply(x: jnp.ndarray) -> jnp.ndarray:
+        out_dtype = x.dtype
+        cdt = dtype or out_dtype
+        x = x.astype(cdt)
+        for i, (k, b) in enumerate(packed):
+            if i > 0:
+                x = jax.nn.relu(x)
+            x = jax.lax.conv_general_dilated(
+                x, k.astype(cdt), (1, 1), pad,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + b.astype(cdt)
+        return x.astype(out_dtype)
+
     return apply
 
 
@@ -244,6 +276,12 @@ class ARSNNEmbedding(nn.Module):
     # Pallas kernel (~13 vs ~49 ms device time for the Gen1-M embedding), so
     # the fused kernel stays opt-in until the whole-scan-resident redesign.
     use_pallas: str = "never"
+    # 'never' | 'auto': run the ENTIRE scan in 8x8 space-to-depth packed
+    # layout (ops/pack.py) — C=2 stencils become full-lane 128->256-channel
+    # 3x3 convs and every elementwise neuron-state op drops the ~64x
+    # channel-lane padding tax. Exactly the same math (weights transformed
+    # by a differentiable gather), float-association differs.
+    packed: str = "never"
 
     @nn.compact
     def __call__(self, events: jnp.ndarray, record: bool = False,
@@ -279,6 +317,21 @@ class ARSNNEmbedding(nn.Module):
             write_zero=self.write_zero,
             use_abs=self.use_abs,
         )
+        if (
+            self.packed == "auto"
+            and not record
+            and packable(ev.shape[2], ev.shape[3], self.ksize, 8)
+        ):
+            blk = 8
+            ev_p = space_to_depth(ev, blk)
+            kw_p = dict(kw)
+            agg_p = arsnn_scan(
+                ev_p,
+                _packed_conv_apply(input_conv.weights, blk, dtype=self.dtype),
+                _packed_conv_apply(gate_conv.weights, blk, dtype=self.dtype),
+                **kw_p,
+            )
+            return depth_to_space(agg_p, blk, C)
         if self.use_pallas in ("always", "auto"):
             from ..ops.arsnn_pallas import arsnn_fused_v2, v2_supported
 
@@ -320,6 +373,7 @@ def build_embedding(
     spike_fn: str = "rect",
     alpha: float = 1.0,
     use_pallas: str = "never",
+    packed: str = "never",
 ) -> nn.Module:
     """Embedding factory mirroring the reference's embedding_dict
     (reference: yolox/exp/event_yolox_base.py:166-177). The embedding's spike
@@ -344,7 +398,7 @@ def build_embedding(
             ksize=ksize, depth=depth, Ts=Ts, readout=readout,
             spike_attach=spike_attach, write_zero=write_zero, use_abs=use_abs,
             split=split, thresh=thresh, vreset=vreset, spike_fn=spike_fn,
-            alpha=alpha, dtype=dtype, use_pallas=use_pallas,
+            alpha=alpha, dtype=dtype, use_pallas=use_pallas, packed=packed,
             name="embedding",
         )
     raise KeyError(f"unknown embedding '{name}'")

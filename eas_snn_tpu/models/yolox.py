@@ -68,6 +68,8 @@ class EASYOLOX(nn.Module):
     # forward through the whole-scan-resident Pallas kernel
     # (ops/arsnn_pallas.py:arsnn_fused_v2) when the geometry supports it
     use_pallas: str = "never"
+    # 'never' | 'auto': space-to-depth packed ARSNN scan (ops/pack.py)
+    packed_embedding: str = "never"
 
     def setup(self):
         assert self.use_spike in USE_SPIKE_MODES, self.use_spike
@@ -107,6 +109,7 @@ class EASYOLOX(nn.Module):
             vreset=self.vreset,
             decay=self.decay,
             use_pallas=self.use_pallas,
+            packed=self.packed_embedding,
         )
         import jax.numpy as jnp_
 

@@ -135,25 +135,41 @@ def bench_train(B):
         batches[0][:1],
     )
 
-    def step(events):
-        nonlocal state
-        state, metrics = train_step(
-            state, events, labels, use_l1=False, ema_decay=0.9998
-        )
-        return metrics["total_loss"]
+    # train steps serialize on the carried state, so per-call timing is
+    # RTT-bound on a relayed backend (measured 39 f/s vs 204 f/s true
+    # device throughput) — chain K steps inside ONE jit via lax.scan.
+    K = 4
+    evK = jnp.stack(batches[:K])
 
-    step(batches[0])  # compile
-    n_iters = 10
-    dt = _pipelined_time(step, batches, n_iters)
-    fps = B * n_iters / dt
+    @jax.jit
+    def multi(state, es):
+        def body(s, e):
+            s2, m = train_step(
+                s, e, labels, use_l1=False, ema_decay=0.9998
+            )
+            return s2, m["total_loss"]
+
+        return jax.lax.scan(body, state, es)
+
+    state, losses = multi(state, evK)
+    float(losses.sum())  # compile + run
+    n_iters = 5
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        state, losses = multi(state, evK)
+        float(losses.sum())
+    dt = (time.perf_counter() - t0) / (n_iters * K)
+    fps = B / dt
     # fwd + bwd ~ 3x fwd conv FLOPs (standard approximation)
     mfu = 3.0 * flops_frame * fps / V5E_BF16_PEAK
     return {
         "metric": "train_step",
         "frames_per_sec": round(fps, 2),
+        "ms_per_step": round(dt * 1e3, 1),
         "conv_gflops_per_frame_fwd": round(flops_frame / 1e9, 2),
         "mfu_pct_3x_approx": round(100 * mfu, 2),
-        "unit": f"SYOLOX-M Gen1 T=3 bf16 train step, batch {B}",
+        "unit": f"SYOLOX-M Gen1 T=3 bf16 train step, batch {B}, "
+                f"{K}-step in-jit scan",
     }
 
 
