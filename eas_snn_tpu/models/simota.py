@@ -110,10 +110,18 @@ def simota_assign(
     topk_ious = jax.lax.top_k(cand_ious, k10)[0]                # (M, k10)
     dynamic_ks = jnp.maximum(topk_ious.sum(-1).astype(jnp.int32), 1)  # (M,)
 
-    # per-gt rank of each anchor by ascending cost; match if rank < k
-    order = jnp.argsort(cost, axis=-1)                          # (M, A)
-    ranks = jnp.argsort(order, axis=-1)                         # rank of each anchor
-    matching = (ranks < dynamic_ks[:, None]) & gt_valid[:, None]  # (M, A) bool
+    # match each gt to its dynamic_k lowest-cost anchors. dynamic_k <= 10
+    # always (a sum of 10 IoUs), so a top-10 partial selection replaces the
+    # reference's full per-gt sort (and our former double argsort over
+    # (M, A) — TPU sorts are bitonic and expensive at A ~ 5k):
+    # threshold at the k-th smallest cost. Exact-tie costs at the
+    # threshold admit >k anchors in principle; float costs make that
+    # measure-zero, and the torch loss-parity test pins the behavior.
+    neg_topk = jax.lax.top_k(-cost, k10)[0]                     # (M, k10)
+    kth = -neg_topk[
+        jnp.arange(cost.shape[0]), jnp.minimum(dynamic_ks, k10) - 1
+    ]                                                            # (M,)
+    matching = (cost <= kth[:, None]) & gt_valid[:, None]        # (M, A) bool
 
     # --- conflict resolution (reference :575-581): anchors matched to >1 gt
     # keep the min-cost gt (argmin over the full cost column, as the
