@@ -33,7 +33,9 @@ def main():
 
     T = Ts = 3
     Tm = 4
-    B, H, W = 64, 256, 320
+    # batch 128 measured 1041.7 f/s vs 715 at batch 64 (46% jump: T*B=384
+    # tiles the MXU better); 96 gave no gain, so 128 is the sweet spot
+    B, H, W = 128, 256, 320
     # deployment config: bf16 conv/BN compute (2.7x measured vs f32 on v5e);
     # losses/decode stay f32 in the model
     model = _build_model(
@@ -41,15 +43,17 @@ def main():
     )
 
     rng = jax.random.PRNGKey(0)
-    host_rng = np.random.default_rng(0)
     # several distinct batches so no relay/runtime layer can elide repeated
-    # identical executions
-    batches = [
-        jnp.asarray(
-            host_rng.poisson(0.2, size=(B, 1, Tm, H, W, 2)).astype(np.float32)
-        )
-        for _ in range(4)
-    ]
+    # identical executions; generated ON DEVICE — staging ~1.3 GB of host
+    # batches through the relay tunnel takes tens of minutes
+    gen = jax.jit(
+        lambda k: jax.random.poisson(
+            k, 0.2, (B, 1, Tm, H, W, 2)
+        ).astype(jnp.float32)
+    )
+    batches = [gen(jax.random.PRNGKey(i)) for i in range(3)]
+    for b in batches:
+        b.block_until_ready()
     variables = jax.jit(model.init, static_argnames=("train",))(
         rng, batches[0][:1], train=False
     )
@@ -92,7 +96,7 @@ def main():
             {
                 "metric": "event_frames_per_sec_per_chip",
                 "value": round(fps, 2),
-                "unit": "frames/s (SYOLOX-M Gen1 T=3 bf16 eval forward, batch 64)",
+                "unit": "frames/s (SYOLOX-M Gen1 T=3 bf16 eval forward, batch 128)",
                 "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
             }
         )

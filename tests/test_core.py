@@ -249,3 +249,57 @@ class TestModelSurgery:
         labels = freeze_labels(params, ["backbone"])
         assert labels["backbone"]["w"] == "frozen"
         assert labels["head"]["w"] == "trainable"
+
+
+class TestTrainerDeviceBinning:
+    def test_before_train_with_raw_event_tuples(self, tmp_path):
+        """Regression (round-1 advisor, trainer.py:115): with
+        exp.device_binning the loader yields TUPLE frames; before_train must
+        build the device binner first and bin the init sample instead of
+        tuple-slicing it. Run one real epoch of 2 iters end-to-end."""
+        import numpy as np
+
+        from eas_snn_tpu.core.trainer import Trainer
+        from eas_snn_tpu.data.psee_io import (
+            write_bboxes_npy,
+            write_dat_events,
+        )
+        from eas_snn_tpu.exp.build import get_exp
+
+        root = tmp_path / "gen1"
+        root.mkdir()
+        rng = np.random.default_rng(0)
+        n = 20000
+        t = np.sort(rng.integers(0, 900_000, n)).astype(np.uint32)
+        write_dat_events(
+            str(root / "s1_td.dat"), t, rng.integers(0, 304, n),
+            rng.integers(0, 240, n), rng.integers(0, 2, n), 240, 304,
+        )
+        write_bboxes_npy(
+            str(root / "s1_bbox.npy"),
+            [(300_000, 40, 50, 60, 40, 0, 0, 1.0),
+             (600_000, 10, 10, 90, 90, 1, 0, 1.0)],
+        )
+
+        exp = get_exp(exp_file="exps/default/gen1_syolox_s.py")
+        exp.merge([
+            "data_dir", str(root), "max_epoch", "1",
+            "input_size", "(64, 64)", "test_size", "(64, 64)",
+            "depth", "0.33", "width", "0.125", "eval_interval", "100",
+            "output_dir", str(tmp_path / "out"), "print_interval", "1",
+            "device_binning", "True", "max_events_per_slice", "4096",
+            "data_num_workers", "1", "Tm", "2", "T", "2", "Ts", "2",
+        ])
+
+        class Args:
+            batch_size = 8  # conftest mesh has 8 virtual devices
+            resume = False
+            ckpt = None
+            experiment_name = "binrun"
+            grid_search = False
+            profile = 0
+
+        tr = Trainer(exp, Args())
+        tr.train()
+        assert tr.state is not None
+        assert int(tr.state.step) == tr.iters_per_epoch
