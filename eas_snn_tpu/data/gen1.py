@@ -61,10 +61,11 @@ class Gen1Dataset(EventDetDataset):
     """304x240 GEN1; 2 classes; streams resolved as
     ``<seq>_td.dat`` / ``<seq>_bbox.npy`` pairs in ``data_dir``."""
 
-    def __init__(self, data_dir: str, input_size=(256, 320), **kw):
+    def __init__(self, data_dir: str, input_size=(256, 320),
+                 img_size=(240, 304), **kw):
         kw.setdefault("class_names", GEN1_CLASSES)
         self._streams: Dict[int, EventStream] = {}
-        super().__init__(data_dir, input_size, img_size=(240, 304), **kw)
+        super().__init__(data_dir, input_size, img_size=img_size, **kw)
 
     def _load_index(self):
         paths = self.data_dir if isinstance(self.data_dir, list) else [self.data_dir]

@@ -43,11 +43,20 @@ class Gen4Dataset(Gen1Dataset):
 
     def __init__(self, data_dir: str, input_size=(384, 640), **kw):
         kw.setdefault("class_names", GEN4_CLASSES)
+        # img_size must reach the base BEFORE _load_index runs: the label
+        # filter chain (crop-to-FOV / huge-box) depends on it
+        kw.setdefault("img_size", (720, 1280))
         super().__init__(data_dir, input_size, **kw)
-        self.img_size = (720, 1280)
 
     def _load_index(self):
-        # same `_bbox.npy` pairing, no corrupted-sequence skip list
+        # same `_bbox.npy` pairing, no corrupted-sequence skip list. Unlike
+        # RVT-preprocessed GEN4 (where the reference defines apply_filters
+        # but never calls it, rvt_gen4.py:357), the RAW reader applies the
+        # full label filter chain at index time (reference gen4.py:399
+        # apply_filters: class subset {ped, 2-wheeler, car}, crop-to-FOV,
+        # min-side-5, huge-box <= 0.9W). The reference also caps itself to
+        # 5 files (gen4.py:375 max_files) — a debugging leftover we do NOT
+        # replicate.
         paths = self.data_dir if isinstance(self.data_dir, list) else [self.data_dir]
         from .psee_io import load_bboxes
 
@@ -55,7 +64,21 @@ class Gen4Dataset(Gen1Dataset):
             for fname in sorted(os.listdir(root)):
                 if not fname.endswith("_bbox.npy"):
                     continue
-                groups = group_boxes_by_time(load_bboxes(os.path.join(root, fname)))
+                boxes = load_bboxes(os.path.join(root, fname))
+                if len(boxes):
+                    x = boxes["x"].astype(np.float32).copy()
+                    y = boxes["y"].astype(np.float32).copy()
+                    w = boxes["w"].astype(np.float32).copy()
+                    h = boxes["h"].astype(np.float32).copy()
+                    cls = boxes["class_id"].astype(np.float32)
+                    keep = apply_label_filters(
+                        x, y, w, h, cls, self.img_size[0], self.img_size[1]
+                    )
+                    boxes = boxes.copy()
+                    boxes["x"], boxes["y"] = x, y
+                    boxes["w"], boxes["h"] = w, h
+                    boxes = boxes[keep]
+                groups = group_boxes_by_time(boxes)
                 if groups:
                     self.files.append(os.path.join(root, fname))
                     self.labels.append(groups)

@@ -400,3 +400,108 @@ class TestEvalPathParity:
         ap_ref = compute_ap(ref_all)
         ap_ours = compute_ap(our_all)
         assert abs(ap_ref - ap_ours) < 1e-4, (ap_ref, ap_ours)
+
+
+# ---------------------------------------------------------------------------
+# GEN4 raw (1Mpx): same harness against the reference's GEN4Dataset
+# ---------------------------------------------------------------------------
+
+H4, W4 = 720, 1280
+
+
+@pytest.fixture(scope="module")
+def gen4_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("gen4_fixture")
+    rng = np.random.default_rng(7)
+    from eas_snn_tpu.data.psee_io import write_bboxes_npy, write_dat_events
+
+    n = 80000
+    t = np.sort(rng.integers(0, 1_000_000, size=n)).astype(np.uint32)
+    write_dat_events(
+        str(root / "m1_td.dat"), t, rng.integers(0, W4, n),
+        rng.integers(0, H4, n), rng.integers(0, 2, n), H4, W4,
+    )
+    rows = [
+        # kept: classes 0-2, sane sizes
+        (300_000, 100, 120, 80, 60, 0, 0, 1.0),
+        (300_000, 400, 300, 60, 90, 2, 1, 1.0),
+        # filtered out: class 4 (bus), too small, spans the frame, off-FOV
+        (300_000, 50, 50, 40, 40, 4, 2, 1.0),
+        (300_000, 10, 10, 3, 3, 0, 3, 1.0),
+        (300_000, 0, 200, 1230, 100, 1, 4, 1.0),
+        (700_000, -40, 500, 40, 60, 1, 5, 1.0),  # crop-to-FOV edge case
+        (700_000, 900, 600, 70, 50, 1, 6, 1.0),
+    ]
+    write_bboxes_npy(str(root / "m1_bbox.npy"), rows)
+    return str(root)
+
+
+class TestGen4PipelineParity:
+    def _ref(self, gen4_dir):
+        from yolox.data.datasets.gen4 import GEN4Dataset
+        from yolox.data.event_data_augment import TrainTransform as RefTrain
+
+        return GEN4Dataset(
+            data_path=gen4_dir, input_size=(H4, W4), random_aug=False,
+            img_size=(H4, W4), continuous=True, slice_policy="fix_t",
+            letterbox_image=True, map_val=False, format="cxcywh",
+            target_transform=RefTrain(max_labels=50),
+            aggregation="sum", overlap=0, num_slice=TL, micro_slice=TM,
+            measure="count", window=WINDOW, prestore=False,
+        )
+
+    def _ours(self, gen4_dir):
+        from eas_snn_tpu.data.gen4 import Gen4Dataset
+
+        return Gen4Dataset(
+            gen4_dir, input_size=(H4, W4), training=False,
+            aggregation="sum", num_slice=TL, micro_slice=TM,
+            window=WINDOW, letterbox_val=True,
+        )
+
+    def test_label_filter_chain_matches(self, gen4_dir):
+        """The raw GEN4 reader applies the filter chain at index time
+        (reference gen4.py:399): class subset + crop-to-FOV + min-side-5 +
+        huge-box. Same surviving boxes, same grouping — EXCEPT the
+        reference's first label group: gen4.py:407-409 seeds
+        ``labels_per_stamp`` with row 0 and then iterates from idx 0,
+        DUPLICATING the first filtered label of every sequence (the GEN1
+        reader-based loop doesn't; defect not replicated)."""
+        ref = self._ref(gen4_dir)
+        ours = self._ours(gen4_dir)
+        assert len(ref) == len(ours)
+        assert set(ref.sample_names) == set(ours.sample_names)
+        for i in range(len(ours)):
+            j = ref.sample_names.index(ours.sample_names[i])
+            rf, rt = ref.resolve_index(j)
+            of, og = ours.resolve_index(i)
+            lab = ref.labels[rf][rt]
+            ref_xyxy = np.stack(
+                [lab["x"], lab["y"], lab["x"] + lab["w"],
+                 lab["y"] + lab["h"], lab["class_id"]], axis=-1,
+            ).astype(np.float32)
+            r = _sorted_rows(ref_xyxy)
+            if rt == 0:
+                # the duplicate seed is the first row in file order —
+                # drop it and assert it really was a duplicate
+                assert (ref_xyxy[0] == ref_xyxy[1]).all(), (
+                    "expected the reference's first-row duplicate"
+                )
+                r = _sorted_rows(ref_xyxy[1:])
+            np.testing.assert_allclose(
+                r, _sorted_rows(ours.raw_boxes(of, og)),
+                rtol=1e-5, atol=1e-5,
+            )
+
+    def test_generate_slices_identical(self, gen4_dir):
+        ref = self._ref(gen4_dir)
+        ours = self._ours(gen4_dir)
+        for i in range(len(ours)):
+            j = ref.sample_names.index(ours.sample_names[i])
+            rf, rt = ref.resolve_index(j)
+            of, og = ours.resolve_index(i)
+            ref_frames = ref.generate_slices(rf, rt, TL, True)
+            np.testing.assert_array_equal(
+                _ref_frames_to_ours(ref_frames),
+                np.asarray(ours.generate_slices(of, og), np.float64),
+            )

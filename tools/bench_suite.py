@@ -56,15 +56,20 @@ def _conv_flops_per_frame(model, variables, sample) -> float:
 
 
 def _batches(B, n=4, seed=0):
+    """Distinct device-resident batches (generated on device — staging
+    host arrays through the relay tunnel is minutes per GB)."""
+    import jax
     import jax.numpy as jnp
 
-    host = np.random.default_rng(seed)
-    return [
-        jnp.asarray(
-            host.poisson(0.2, size=(B, 1, TM, H, W, 2)).astype(np.float32)
-        )
-        for _ in range(n)
-    ]
+    gen = jax.jit(
+        lambda k: jax.random.poisson(
+            k, 0.2, (B, 1, TM, H, W, 2)
+        ).astype(jnp.float32)
+    )
+    out = [gen(jax.random.PRNGKey(seed * 100 + i)) for i in range(n)]
+    for b in out:
+        b.block_until_ready()
+    return out
 
 
 def _pipelined_time(fn, batches, n_iters):
@@ -262,7 +267,7 @@ def main():
     enable_compilation_cache()
 
     if args.mode == "fwd":
-        out = bench_fwd(args.batch or 64)
+        out = bench_fwd(args.batch or 128)
     elif args.mode == "train":
         out = bench_train(args.batch or 32)
     else:
