@@ -19,7 +19,7 @@ import numpy as np
 from .event_dataset import EventDetDataset
 from .reps import slice_time_windows, timesurface, timesurface_measure, voxel_cube, voxel_grid
 
-__all__ = ["NCaltechDataset", "read_atis_events", "read_ncaltech_annotation"]
+__all__ = ["NCaltechDataset", "read_atis_events", "read_ncaltech_annotation", "encode_atis"]
 
 ATIS_DTYPE = np.dtype([("x", "<i8"), ("y", "<i8"), ("t", "<i8"), ("p", "<i8")])
 
@@ -52,6 +52,20 @@ def read_atis_events(
         lo, hi = out["t"][-1] + window[0], out["t"][-1] + window[1]
         out = out[(out["t"] > lo) & (out["t"] <= hi)]
     return out
+
+
+def encode_atis(t, x, y, p) -> bytes:
+    """Inverse of read_atis_events — write a synthetic ATIS `.bin` stream
+    (used by tests/fixtures; no overflow rows; t < 2^23)."""
+    t = np.asarray(t, np.int64)
+    assert (t < (1 << 23)).all()
+    out = np.empty((len(t), 5), np.uint8)
+    out[:, 0] = x
+    out[:, 1] = y
+    out[:, 2] = (np.asarray(p, np.int64) << 7) | (t >> 16)
+    out[:, 3] = (t >> 8) & 255
+    out[:, 4] = t & 255
+    return out.tobytes()
 
 
 def read_ncaltech_annotation(path: str) -> Tuple[List[int], np.ndarray]:

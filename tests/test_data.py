@@ -232,17 +232,7 @@ class TestGen1Dataset:
         assert sum(len(b[3]) for b in batches) == len(ds)
 
 
-def encode_atis(t, x, y, p):
-    """Inverse of read_atis_events for fixtures (no overflow rows)."""
-    t = np.asarray(t, np.int64)
-    assert (t < (1 << 23)).all()
-    out = np.empty((len(t), 5), np.uint8)
-    out[:, 0] = x
-    out[:, 1] = y
-    out[:, 2] = (np.asarray(p, np.int64) << 7) | (t >> 16)
-    out[:, 3] = (t >> 8) & 255
-    out[:, 4] = t & 255
-    return out.tobytes()
+from eas_snn_tpu.data.ncaltech import encode_atis  # noqa: E402
 
 
 class TestNCaltech:

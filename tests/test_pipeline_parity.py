@@ -505,3 +505,100 @@ class TestGen4PipelineParity:
                 _ref_frames_to_ours(ref_frames),
                 np.asarray(ours.generate_slices(of, og), np.float64),
             )
+
+
+# ---------------------------------------------------------------------------
+# N-Caltech101: same harness against the reference's NCaltech
+# ---------------------------------------------------------------------------
+
+HN, WN = 180, 240
+
+
+@pytest.fixture(scope="module")
+def ncaltech_dir(tmp_path_factory):
+    import struct as st
+
+    from eas_snn_tpu.data.ncaltech import encode_atis
+
+    root = tmp_path_factory.mktemp("ncal_fixture")
+    rng = np.random.default_rng(11)
+    pairs = []
+    for cls in ("ant", "bee"):
+        ddir = root / "Caltech101" / cls
+        adir = root / "Caltech101_annotations" / cls
+        ddir.mkdir(parents=True)
+        adir.mkdir(parents=True)
+        for i in range(2):
+            n = 4000
+            t = np.sort(rng.integers(0, 1 << 21, n))
+            ev = encode_atis(
+                t, rng.integers(0, WN, n), rng.integers(0, HN, n),
+                rng.integers(0, 2, n),
+            )
+            dpath = ddir / f"image_{i:04d}.bin"
+            dpath.write_bytes(ev)
+            box = np.array(
+                [[40 + i, 160, 160, 40 + i], [30, 130 + i, 130 + i, 30]],
+                np.int16,
+            )  # row 0: x coords, row 1: y coords
+            apath = adir / f"annotation_{i:04d}.bin"
+            with open(apath, "wb") as f:
+                f.write(st.pack("h", 2))
+                f.write(st.pack("h", 4))
+                f.write(np.asfortranarray(box).tobytes(order="F"))
+                f.write(st.pack("h", 2))
+                f.write(st.pack("h", 4))
+                f.write(np.asfortranarray(box).tobytes(order="F"))
+            pairs.append(f"{dpath} {apath}")
+    # deterministic split shared by BOTH readers (each skips generation
+    # when train.txt exists)
+    (root / "train.txt").write_text("\n".join(pairs) + "\n")
+    (root / "val.txt").write_text("")
+    (root / "test.txt").write_text("")
+    return str(root)
+
+
+class TestNCaltechPipelineParity:
+    def _ref(self, root, aggregation):
+        from yolox.data.datasets.ncaltech import NCaltech
+        from yolox.data.event_data_augment import TrainTransform as RefTrain
+
+        return NCaltech(
+            root_path=root, input_size=(HN, WN), type="train",
+            img_size=(HN, WN), map_val=False, letterbox_image=True,
+            random_aug=False, speed_random_aug=False, format="cxcywh",
+            target_transform=RefTrain(max_labels=50), window=None,
+            aggregation=aggregation, overlap=0, num_slice=2,
+            micro_slice=3, measure="count",
+        )
+
+    def _ours(self, root, aggregation):
+        from eas_snn_tpu.data.ncaltech import NCaltechDataset
+
+        return NCaltechDataset(
+            root, input_size=(HN, WN), split="train", training=False,
+            aggregation=aggregation, num_slice=2, micro_slice=3,
+            measure="count", letterbox_val=True,
+        )
+
+    @pytest.mark.parametrize("aggregation", ["sum", "micro_sum"])
+    def test_getitem_identical(self, ncaltech_dir, aggregation):
+        ref = self._ref(ncaltech_dir, aggregation)
+        ours = self._ours(ncaltech_dir, aggregation)
+        assert len(ref) == len(ours) == 4
+        assert set(ref.sample_names) == set(ours.sample_names)
+        for i in range(len(ours)):
+            j = ref.sample_names.index(ours.sample_names[i])
+            np.random.seed(0)  # ref shuffles GT rows in letterbox path
+            rf_frames, rf_labels, rf_size, rf_sid = ref[j]
+            of_frames, of_labels, of_size, of_sid = ours[i]
+            assert tuple(rf_size) == tuple(of_size) == (HN, WN)
+            assert ref.sample_names[rf_sid] == ours.sample_names[of_sid]
+            np.testing.assert_array_equal(
+                _ref_frames_to_ours(rf_frames),
+                np.asarray(of_frames, np.float64),
+                err_msg=f"{ours.sample_names[i]} ({aggregation})",
+            )
+            np.testing.assert_array_equal(
+                _sorted_rows(rf_labels), _sorted_rows(of_labels)
+            )
