@@ -268,15 +268,17 @@ class Trainer:
         # iterations into <run_dir>/profile (reference has no real profiler;
         # SURVEY §5.1 names this as the TPU-native upgrade)
         profile_n = int(getattr(self.args, "profile", 0) or 0)
+        # skip the compile-heavy first iter when there is more than one
+        profile_start = min(1, self.iters_per_epoch - 1)
         profiling = False
         for it in range(self.iters_per_epoch):
             if profile_n and self.epoch == self.start_epoch:
-                if it == 1:
+                if it == profile_start and not profiling:
                     jax.profiler.start_trace(
                         os.path.join(self.file_name, "profile")
                     )
                     profiling = True
-                elif profiling and it == 1 + profile_n:
+                elif profiling and it == profile_start + profile_n:
                     jax.profiler.stop_trace()
                     profiling = False
                     self.logger.info(
@@ -313,6 +315,10 @@ class Trainer:
                 self.tracker.log(int(self.state.step), metrics)
         if profiling:
             jax.profiler.stop_trace()
+            self.logger.info(
+                f"profiler trace (epoch end, < {profile_n} iters) -> "
+                f"{self.file_name}/profile"
+            )
 
     # TPU v5e bf16 peak; MFU is a lower bound (conv MACs only, 3x fwd
     # approximation for fwd+bwd)

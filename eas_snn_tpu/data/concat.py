@@ -29,11 +29,15 @@ class ConcatDataset:
             self.input_size = first.input_size
         if hasattr(first, "class_names"):
             self.class_names = first.class_names
-        # merged sample names so evaluators can resolve ids across children
-        self.sample_names = [
-            n for d in self.datasets
-            for n in getattr(d, "sample_names", [""] * len(d))
-        ]
+        self.map_val = bool(getattr(first, "map_val", False))
+        # merged sample names so evaluators can resolve ids across children;
+        # children may expose sample_names=None (e.g. Mosaic wrappers)
+        self.sample_names = []
+        for d in self.datasets:
+            names = getattr(d, "sample_names", None)
+            self.sample_names += (
+                list(names) if names is not None else [""] * len(d)
+            )
 
     def __len__(self) -> int:
         return int(self.cumulative_sizes[-1])
@@ -49,7 +53,19 @@ class ConcatDataset:
 
     def __getitem__(self, idx: int):
         d, s = self._resolve(idx)
-        return self.datasets[d][s]
+        sample = self.datasets[d][s]
+        return self._reindex(sample, d)
+
+    def _reindex(self, sample, d: int):
+        """Children emit sids in their OWN index space; shift into the
+        concatenated space so id-keyed consumers don't collide."""
+        off = 0 if d == 0 else int(self.cumulative_sizes[d - 1])
+        if (
+            off and isinstance(sample, tuple) and len(sample) == 4
+            and np.isscalar(sample[3])
+        ):
+            return sample[:3] + (sample[3] + off,)
+        return sample
 
     # propagate trainer hooks to every child
     def close_mosaic(self):
@@ -79,4 +95,4 @@ class MixConcatDataset(ConcatDataset):
         idx = index[1]
         d, s = self._resolve(int(idx))
         new_index = (index[0], s) + tuple(index[2:])
-        return self.datasets[d][new_index]
+        return self._reindex(self.datasets[d][new_index], d)

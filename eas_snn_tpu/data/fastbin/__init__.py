@@ -14,9 +14,14 @@ from typing import Optional
 
 import numpy as np
 
+import platform
+
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "fastbin.cpp")
-_SO = os.path.join(_HERE, "_fastbin.so")
+# -march=native output is microarchitecture-specific: key the cache by
+# machine so a shared filesystem across heterogeneous hosts never loads a
+# .so built for a different CPU (SIGILL in the dataloader otherwise)
+_SO = os.path.join(_HERE, f"_fastbin.{platform.machine()}.so")
 _LOCK = threading.Lock()
 _LIB: Optional[ctypes.CDLL] = None
 _FAILED = False

@@ -130,10 +130,18 @@ def _proc_worker_main(dataset, in_q, out_q, stack_labels, seed, wid,
             if task is None:
                 break
             bid, idxs, slot = task
-            samples = [dataset[i] for i in idxs]
-            frames, labels, sizes, ids = collate_event_batch(
-                samples, stack_labels
-            )
+            try:
+                samples = [dataset[i] for i in idxs]
+                frames, labels, sizes, ids = collate_event_batch(
+                    samples, stack_labels
+                )
+            except Exception as e:  # propagate instead of dying silently
+                import traceback
+
+                out_q.put((bid, "error",
+                           f"{type(e).__name__}: {e}\n"
+                           + traceback.format_exc(), None, None, None, None))
+                continue
             if slot is not None and not isinstance(frames, tuple):
                 if slot not in shms:
                     shms[slot] = shared_memory.SharedMemory(
@@ -300,6 +308,8 @@ class EventDataLoader:
 
         def decode(msg):
             bid, slot, shape, dtype, small, sizes, ids = msg
+            if slot == "error":
+                raise RuntimeError(f"loader worker failed: {shape}")
             if slot is None:
                 frames, labels, sizes, ids = small
             else:
@@ -320,9 +330,20 @@ class EventDataLoader:
                     in_flight += 1
                 else:
                     break
+            import queue as _q
+
             while in_flight > 0:
                 while next_yield not in buffered:
-                    msg = out_q.get()
+                    try:
+                        msg = out_q.get(timeout=30)
+                    except _q.Empty:
+                        dead = [w for w in workers if not w.is_alive()]
+                        if dead:
+                            raise RuntimeError(
+                                f"{len(dead)} loader worker(s) died "
+                                f"(exitcodes {[w.exitcode for w in dead]})"
+                            )
+                        continue
                     buffered[msg[0]] = msg
                 msg = buffered.pop(next_yield)
                 next_yield += 1

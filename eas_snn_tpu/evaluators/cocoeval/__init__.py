@@ -15,9 +15,12 @@ from typing import Optional
 
 import numpy as np
 
+import platform
+
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "cocoeval.cpp")
-_SO = os.path.join(_HERE, "_cocoeval.so")
+# arch-keyed: -march=native .so must not be shared across host types
+_SO = os.path.join(_HERE, f"_cocoeval.{platform.machine()}.so")
 _LOCK = threading.Lock()
 _LIB: Optional[ctypes.CDLL] = None
 _FAILED = False

@@ -84,7 +84,15 @@ def _conv_stack_fn(
         k = mdl.param(f"{name}_kernel{i}", kernel_init, (ksize, ksize, ic, out_ch))
         b = mdl.param(f"{name}_bias{i}", _ZEROS, (out_ch,))
         weights.append((k, b))
-    pad = [(ksize // 2,) * 2] * 2
+
+    apply = _make_conv_stack_apply(weights, [(ksize // 2,) * 2] * 2, dtype)
+    apply.weights = weights  # raw (kernel HWIO, bias) pairs for fused paths
+    return apply
+
+
+def _make_conv_stack_apply(weights, pad, dtype):
+    """conv[ReLU conv]* closure shared by the stencil and packed paths —
+    the two MUST stay numerically identical, so there is one body."""
 
     def apply(x: jnp.ndarray) -> jnp.ndarray:
         out_dtype = x.dtype
@@ -99,7 +107,6 @@ def _conv_stack_fn(
             ) + b.astype(cdt)
         return x.astype(out_dtype)
 
-    apply.weights = weights  # raw (kernel HWIO, bias) pairs for fused paths
     return apply
 
 
@@ -110,22 +117,7 @@ def _packed_conv_apply(weights, block: int, dtype=None):
     packed = [
         (pack_conv_kernel(k, block), pack_bias(b, block)) for k, b in weights
     ]
-    pad = [(1, 1), (1, 1)]
-
-    def apply(x: jnp.ndarray) -> jnp.ndarray:
-        out_dtype = x.dtype
-        cdt = dtype or out_dtype
-        x = x.astype(cdt)
-        for i, (k, b) in enumerate(packed):
-            if i > 0:
-                x = jax.nn.relu(x)
-            x = jax.lax.conv_general_dilated(
-                x, k.astype(cdt), (1, 1), pad,
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            ) + b.astype(cdt)
-        return x.astype(out_dtype)
-
-    return apply
+    return _make_conv_stack_apply(packed, [(1, 1), (1, 1)], dtype)
 
 
 def _fold_time(events: jnp.ndarray) -> jnp.ndarray:
@@ -337,7 +329,8 @@ class ARSNNEmbedding(nn.Module):
 
             Tm, _, Hh, Ww, Cin = ev.shape
             ok = v2_supported(
-                Tm, Cin, C, Hh, Ww, self.depth, self.ksize, record
+                Tm, Cin, C, Hh, Ww, self.depth, self.ksize, record,
+                Ts=self.Ts,
             ) and not train and (
                 self.use_pallas == "always"
                 or jax.default_backend() == "tpu"

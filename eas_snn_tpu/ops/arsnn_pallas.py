@@ -307,18 +307,22 @@ def arsnn_scan_fused(
 
 
 def v2_supported(Tm: int, C_in: int, C_out: int, H: int, W: int,
-                 depth: int, ksize: int, record: bool = False) -> bool:
+                 depth: int, ksize: int, record: bool = False,
+                 Ts: int = 4) -> bool:
     """Geometry gate: everything the kernel keeps resident must fit VMEM
-    (~16 MB/core on v5e)."""
+    (v5e has 128 MB; we budget conservatively for double-buffered blocks
+    and compiler temporaries)."""
     if record or depth > 2 or C_in != 2 or C_out != 2 or ksize > 7:
         return False
     p = ksize // 2
     lanes = -(-(W + 2 * p) // _LANES) * _LANES
     plane = (H + 2 * p) * lanes * 4
-    # pad_in(2C) + mid(2C) + state(5 x C) + agg(3C assumed Ts<=4) + ev(2 x Cin)
-    est = plane * (2 * 2 * C_out + 2 * 2 * C_out + 5 * C_out + 4 * 2 * C_out
-                   + 2 * C_in)
-    return est < 14 * 1024 * 1024
+    # pad_in(2C) + inp/rec conv out (2 x 2C) + state(5 x C)
+    # + agg(Ts x C, double-buffered out block) + ev(2 x Cin, double-buffered)
+    est = plane * (
+        2 * C_out + 2 * 2 * C_out + 5 * C_out + 2 * Ts * C_out + 2 * C_in
+    )
+    return est < 48 * 1024 * 1024
 
 
 def _stencil_conv(pad_ref, out_ref, out_base, w_ref, b_ref, w_off, b_off,

@@ -74,7 +74,9 @@ def play_files(td_files, delta_t=50000, skip=0, save_path=None,
         cands = glob.glob(f.split("_td.dat")[0] + "*.npy")
         box_arrays.append(load_bboxes(cands[0]) if cands else None)
 
-    height, width = streams[0].get_size() or (240, 304)
+    height, width = streams[0].get_size()
+    if height is None or width is None:  # .npy / headerless .dat streams
+        height, width = 240, 304
     labelmap = LABELMAP if height == 240 else LABELMAP_LARGE
 
     size_x = int(math.ceil(math.sqrt(len(streams))))
