@@ -42,18 +42,10 @@ def main():
         depth=0.67, width=0.75, T=T, Ts=Ts, Tm=Tm, compute_dtype="bfloat16"
     )
 
+    from eas_snn_tpu.utils.benchmarks import device_batches, pipelined_fps
+
     rng = jax.random.PRNGKey(0)
-    # several distinct batches so no relay/runtime layer can elide repeated
-    # identical executions; generated ON DEVICE — staging ~1.3 GB of host
-    # batches through the relay tunnel takes tens of minutes
-    gen = jax.jit(
-        lambda k: jax.random.poisson(
-            k, 0.2, (B, 1, Tm, H, W, 2)
-        ).astype(jnp.float32)
-    )
-    batches = [gen(jax.random.PRNGKey(i)) for i in range(3)]
-    for b in batches:
-        b.block_until_ready()
+    batches = device_batches((B, 1, Tm, H, W, 2))
     variables = jax.jit(model.init, static_argnames=("train",))(
         rng, batches[0][:1], train=False
     )
@@ -69,23 +61,9 @@ def main():
     _, s = fwd(variables, batches[0])
     float(s)
 
-    n_iters = 12
-
-    def one_round():
-        # software pipeline of depth 1: issue call i+1 before forcing call
-        # i, so steady-state throughput is measured, not round-trip latency
-        _, prev = fwd(variables, batches[0])
-        t0 = time.perf_counter()
-        for i in range(1, n_iters):
-            _, s = fwd(variables, batches[i % len(batches)])
-            float(prev)
-            prev = s
-        float(prev)
-        return B * n_iters / (time.perf_counter() - t0)
-
-    # best of 3: the relay's throughput swings widely under load; the best
-    # round reflects device capability, the others reflect the tunnel
-    fps = max(one_round() for _ in range(3))
+    fps = pipelined_fps(
+        lambda e: fwd(variables, e), batches, B, n_iters=12, rounds=3
+    )
 
     vs_baseline = None
     base_path = os.path.join(os.path.dirname(__file__), "BASELINE_MEASURED.json")

@@ -201,16 +201,11 @@ class Trainer:
         # thop; here the 'sops' accounting collection, model_info.py)
         self._flops_per_frame = None
         try:
-            from ..evaluators.energy import count_ops
+            from ..evaluators.energy import conv_macs_per_frame
 
-            ops = count_ops(
-                self.model,
-                {"params": self.state.params,
-                 "batch_stats": self.state.batch_stats},
-                sample_e,
+            self._flops_per_frame = 2.0 * conv_macs_per_frame(
+                self.model, tuple(sample_e.shape)
             )
-            macs = sum(float(v[1]) for v in ops.values())
-            self._flops_per_frame = 2.0 * macs / sample_e.shape[0]
             self.logger.info(
                 f"model: {self._flops_per_frame / 1e9:.2f} conv GFLOPs/frame"
             )
@@ -320,9 +315,9 @@ class Trainer:
                 f"{self.file_name}/profile"
             )
 
-    # TPU v5e bf16 peak; MFU is a lower bound (conv MACs only, 3x fwd
-    # approximation for fwd+bwd)
-    _PEAK_FLOPS = 197e12
+    # MFU is a lower bound (conv MACs only, 3x fwd approximation for
+    # fwd+bwd); peak constant shared with the bench tooling
+    from ..utils.benchmarks import V5E_BF16_PEAK as _PEAK_FLOPS
 
     def _mfu_str(self) -> str:
         if not self._flops_per_frame or "iter_time" not in self.meter:

@@ -35,6 +35,28 @@ def _walk(tree: Any, path: Tuple[str, ...], out: Dict[str, np.ndarray]):
         out["/".join(p for p in path if p != "ops")] = total
 
 
+def conv_macs_per_frame(model, sample_shape, dtype=None) -> float:
+    """Conv MACs per input frame, computed entirely on the CPU backend with
+    zero-filled parameters (MACs are shape-static; SOPs are not). Exists
+    because jitting the full model through a relayed TPU backend just to
+    read one static number stalls startup for minutes."""
+    import jax
+    import jax.numpy as jnp
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        ev = jnp.zeros(sample_shape, dtype or jnp.float32)
+        shapes = jax.eval_shape(
+            lambda k: model.init(k, ev, train=False), jax.random.PRNGKey(0)
+        )
+        variables = jax.tree_util.tree_map(
+            lambda sh: jnp.zeros(sh.shape, sh.dtype), shapes
+        )
+        ops = count_ops(model, variables, ev)
+    macs = sum(float(v[1]) for v in ops.values())
+    return macs / sample_shape[0]
+
+
 def count_ops(model, variables, events, **apply_kwargs) -> Dict[str, np.ndarray]:
     """Run one forward pass collecting per-module [sops, macs, is_spiking].
 

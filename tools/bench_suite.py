@@ -31,7 +31,11 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-V5E_BF16_PEAK = 197e12  # FLOP/s per chip
+from eas_snn_tpu.utils.benchmarks import (  # noqa: E402
+    V5E_BF16_PEAK,
+    device_batches,
+    pipelined_fps,
+)
 
 T = TS = 3
 TM = 4
@@ -48,40 +52,13 @@ def _model(compute_dtype="bfloat16"):
 
 
 def _conv_flops_per_frame(model, variables, sample) -> float:
-    from eas_snn_tpu.evaluators.energy import count_ops
+    from eas_snn_tpu.evaluators.energy import conv_macs_per_frame
 
-    ops = count_ops(model, variables, sample)
-    macs = sum(float(v[1]) for v in ops.values())
-    return 2.0 * macs / sample.shape[0]
+    return 2.0 * conv_macs_per_frame(model, tuple(sample.shape))
 
 
-def _batches(B, n=4, seed=0):
-    """Distinct device-resident batches (generated on device — staging
-    host arrays through the relay tunnel is minutes per GB)."""
-    import jax
-    import jax.numpy as jnp
-
-    gen = jax.jit(
-        lambda k: jax.random.poisson(
-            k, 0.2, (B, 1, TM, H, W, 2)
-        ).astype(jnp.float32)
-    )
-    out = [gen(jax.random.PRNGKey(seed * 100 + i)) for i in range(n)]
-    for b in out:
-        b.block_until_ready()
-    return out
-
-
-def _pipelined_time(fn, batches, n_iters):
-    """Depth-1 software pipeline: steady-state throughput, forced results."""
-    prev = fn(batches[0])
-    t0 = time.perf_counter()
-    for i in range(1, n_iters):
-        s = fn(batches[i % len(batches)])
-        float(prev)
-        prev = s
-    float(prev)
-    return time.perf_counter() - t0
+def _batches(B, n=3, seed=0):
+    return device_batches((B, 1, TM, H, W, 2), n=n, seed=seed)
 
 
 def bench_fwd(B):
@@ -102,9 +79,7 @@ def bench_fwd(B):
         return out.sum()
 
     fwd(batches[0])  # compile
-    n_iters = 12
-    dt = _pipelined_time(fwd, batches, n_iters)
-    fps = B * n_iters / dt
+    fps = pipelined_fps(fwd, batches, B, n_iters=12, rounds=3)
     mfu = flops_frame * fps / V5E_BF16_PEAK
     return {
         "metric": "eval_fwd",
