@@ -320,16 +320,21 @@ class Trainer:
     from ..utils.benchmarks import V5E_BF16_PEAK as _PEAK_FLOPS
 
     def _mfu_str(self) -> str:
+        import jax
+
         if not self._flops_per_frame or "iter_time" not in self.meter:
             return ""
         it_s = self.meter["iter_time"].avg
         if it_s <= 0:
             return ""
+        # batch_size is the GLOBAL batch and iter_time covers a step across
+        # all devices, so normalize peak by device count: this is per-chip
+        # MFU (the fleet-meaningful number), not per-run.
         mfu = (
             3.0 * self._flops_per_frame * self.batch_size / it_s
-            / self._PEAK_FLOPS
+            / (self._PEAK_FLOPS * jax.device_count())
         )
-        return f"mfu: {100 * mfu:.1f}%, "
+        return f"mfu/chip: {100 * mfu:.1f}%, "
 
     def _log_iter(self, it):
         left_iters = (

@@ -23,6 +23,10 @@ void polarity_histogram(
     float* out) {
   const int64_t hw = height * width;
   for (int64_t i = 0; i < n; ++i) {
+    // Out-of-frame coordinates (corrupt/truncated .dat, wrong img_size
+    // config) would scatter into the heap; skip them instead. The numpy
+    // fallback raises IndexError on the same data.
+    if (xs[i] >= width || ys[i] >= height) continue;
     const int64_t idx = (int64_t)ys[i] * width + xs[i];
     out[(ps[i] & 1) * hw + idx] += 1.0f;
   }
@@ -47,6 +51,7 @@ void micro_sum(
     if (rel < 0) continue;
     const int64_t b = rel / tw;
     if (b >= n_bins) continue;
+    if (xs[i] >= width || ys[i] >= height) continue;  // see above
     const int64_t idx = (int64_t)ys[i] * width + xs[i];
     out[b * plane + (ps[i] & 1) * hw + idx] += 1.0f;
   }

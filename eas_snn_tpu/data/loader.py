@@ -75,7 +75,16 @@ class SequentialSampler:
     flat rows once at the end of eval — duplicate samples would be counted
     twice — so ranks simply take disjoint strided slices of the real index
     range; unequal local lengths are fine because the collective happens
-    once, not per batch."""
+    once, not per batch.
+
+    INVARIANT (multi-process safety): because per-rank batch counts and the
+    last batch's shape differ across ranks, the eval loop consuming this
+    sampler must contain NO per-batch cross-host collectives — eval batches
+    must never be device_put with a global-batch sharding or run under a TP
+    mesh. The single end-of-eval gather (`_allgather_rows`) pads to the max
+    row count first, so it is shape-uniform. If per-batch collectives are
+    ever needed, switch to padded equal-length sampling and drop padded
+    sample ids before the gather."""
 
     def __init__(self, size: int, rank: int = 0, world_size: int = 1):
         self.size = size

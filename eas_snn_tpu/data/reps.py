@@ -38,6 +38,26 @@ __all__ = [
 # host (numpy) kernels — used by dataset workers and as golden references
 # --------------------------------------------------------------------------
 
+def _native_xyp(events: np.ndarray):
+    """x/y/p arrays in the native core's u16/u16/u8 layout, or None.
+
+    Datasets with wider fields (NCaltech ATIS decodes to int64) are cast
+    when the values fit; anything that would wrap falls back to numpy,
+    which raises IndexError on genuinely out-of-frame coordinates.
+    """
+    xs, ys, ps = events["x"], events["y"], events["p"]
+    for arr, want in ((xs, np.uint16), (ys, np.uint16), (ps, np.uint8)):
+        if arr.dtype != want and len(arr) and (
+            arr.min() < 0 or arr.max() > np.iinfo(want).max
+        ):
+            return None
+    return (
+        np.ascontiguousarray(xs, np.uint16),
+        np.ascontiguousarray(ys, np.uint16),
+        np.ascontiguousarray(ps, np.uint8),
+    )
+
+
 def polarity_histogram(events: np.ndarray, height: int, width: int) -> np.ndarray:
     """2-channel polarity count image (H, W, 2), float32.
 
@@ -50,14 +70,11 @@ def polarity_histogram(events: np.ndarray, height: int, width: int) -> np.ndarra
         from .fastbin import load_native
 
         lib = load_native()
-        if lib is not None:
+        xyp = _native_xyp(events) if lib is not None else None
+        if xyp is not None:
             out = np.zeros((2, height * width), np.float32)
             lib.polarity_histogram(
-                len(events),
-                np.ascontiguousarray(events["x"]),
-                np.ascontiguousarray(events["y"]),
-                np.ascontiguousarray(events["p"]),
-                height, width, out,
+                len(events), *xyp, height, width, out,
             )
             return np.moveaxis(
                 out.reshape(2, height, width), 0, -1
@@ -102,7 +119,8 @@ def micro_sum(events: np.ndarray, n_micro: int, height: int, width: int) -> np.n
         from .fastbin import load_native
 
         lib = load_native()
-        if lib is not None:
+        xyp = _native_xyp(events) if lib is not None else None
+        if xyp is not None:
             t0 = int(events["t"][0])
             tw = (int(events["t"][-1]) - t0) // n_micro
             out = np.zeros((n_micro, 2, height * width), np.float32)
@@ -110,9 +128,7 @@ def micro_sum(events: np.ndarray, n_micro: int, height: int, width: int) -> np.n
                 lib.micro_sum(
                     len(events),
                     np.ascontiguousarray(events["t"], np.int64),
-                    np.ascontiguousarray(events["x"]),
-                    np.ascontiguousarray(events["y"]),
-                    np.ascontiguousarray(events["p"]),
+                    *xyp,
                     t0, tw, n_micro, height, width, out,
                 )
             return np.moveaxis(

@@ -118,8 +118,10 @@ def bench_train(B):
     # train steps serialize on the carried state, so per-call timing is
     # RTT-bound on a relayed backend (measured 39 f/s vs 204 f/s true
     # device throughput) — chain K steps inside ONE jit via lax.scan.
+    # The scan length MUST match the divisor below: cycle the available
+    # batches up to K so `n_iters * K` counts exactly the steps executed.
     K = 4
-    evK = jnp.stack(batches[:K])
+    evK = jnp.stack([batches[i % len(batches)] for i in range(K)])
 
     @jax.jit
     def multi(state, es):
