@@ -263,6 +263,11 @@ class ARSNNEmbedding(nn.Module):
     alpha: float = 1.0
     # conv compute dtype (None -> input dtype); neuron dynamics stay f32
     dtype: object = None
+    # scan state dtype (None -> input dtype, i.e. f32). 'bfloat16' halves
+    # the scan's HBM carry traffic (the sampler is bandwidth-bound); spikes
+    # are chaotic at threshold edges so outputs deviate elementwise from
+    # the f32 path — opt-in, for throughput-critical eval.
+    state_dtype: Optional[str] = None
     # 'never' (default) | 'always' | 'auto'. Honest forced-materialization
     # profiling on the v5e shows XLA's own scan fusion beating the per-step
     # Pallas kernel (~13 vs ~49 ms device time for the Gen1-M embedding), so
@@ -279,6 +284,9 @@ class ARSNNEmbedding(nn.Module):
     def __call__(self, events: jnp.ndarray, record: bool = False,
                  train: bool = False):
         ev = _fold_time(events)
+        in_dtype = ev.dtype
+        if self.state_dtype is not None:
+            ev = ev.astype(self.state_dtype)
         C = self.out_channels
         input_conv = _conv_stack_fn(
             self, "input_conv", self.in_channels, 2 * C, self.ksize,
@@ -323,7 +331,7 @@ class ARSNNEmbedding(nn.Module):
                 _packed_conv_apply(gate_conv.weights, blk, dtype=self.dtype),
                 **kw_p,
             )
-            return depth_to_space(agg_p, blk, C)
+            return depth_to_space(agg_p, blk, C).astype(in_dtype)
         if self.use_pallas in ("always", "auto"):
             from ..ops.arsnn_pallas import arsnn_fused_v2, v2_supported
 
@@ -342,10 +350,15 @@ class ARSNNEmbedding(nn.Module):
                     ev, input_conv.weights, gate_conv.weights,
                     interpret=jax.default_backend() != "tpu",
                     **kw2,
-                )
+                ).astype(in_dtype)
             if self.use_pallas == "always":
-                return arsnn_scan_fused(ev, input_conv, gate_conv, **kw)
-        return arsnn_scan(ev, input_conv, gate_conv, record=record, **kw)
+                return arsnn_scan_fused(
+                    ev, input_conv, gate_conv, **kw
+                ).astype(in_dtype)
+        out = arsnn_scan(ev, input_conv, gate_conv, record=record, **kw)
+        if record:
+            return out[0].astype(in_dtype), out[1]
+        return out.astype(in_dtype)
 
 
 def build_embedding(
@@ -367,6 +380,7 @@ def build_embedding(
     alpha: float = 1.0,
     use_pallas: str = "never",
     packed: str = "never",
+    state_dtype: Optional[str] = None,
 ) -> nn.Module:
     """Embedding factory mirroring the reference's embedding_dict
     (reference: yolox/exp/event_yolox_base.py:166-177). The embedding's spike
@@ -392,6 +406,7 @@ def build_embedding(
             spike_attach=spike_attach, write_zero=write_zero, use_abs=use_abs,
             split=split, thresh=thresh, vreset=vreset, spike_fn=spike_fn,
             alpha=alpha, dtype=dtype, use_pallas=use_pallas, packed=packed,
+            state_dtype=state_dtype,
             name="embedding",
         )
     raise KeyError(f"unknown embedding '{name}'")

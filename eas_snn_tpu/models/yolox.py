@@ -70,6 +70,9 @@ class EASYOLOX(nn.Module):
     use_pallas: str = "never"
     # 'never' | 'auto': space-to-depth packed ARSNN scan (ops/pack.py)
     packed_embedding: str = "never"
+    # None (f32) | 'bfloat16' — ARSNN scan state dtype (halves the
+    # bandwidth-bound sampler's carry traffic; elementwise deviation)
+    embedding_state_dtype: Optional[str] = None
 
     def setup(self):
         assert self.use_spike in USE_SPIKE_MODES, self.use_spike
@@ -110,6 +113,7 @@ class EASYOLOX(nn.Module):
             decay=self.decay,
             use_pallas=self.use_pallas,
             packed=self.packed_embedding,
+            state_dtype=self.embedding_state_dtype,
         )
         import jax.numpy as jnp_
 

@@ -105,6 +105,10 @@ def arsnn_scan(
     state_shape = g_in_all.shape[1:]
     f32 = events.dtype
     zero = jnp.zeros(state_shape, f32)
+    # Segment counters and last-spike times are tiny ints (< Tm, Ts <= 127):
+    # carrying them as int8 instead of int32 cuts their share of the scan's
+    # HBM carry traffic 4x with bit-identical results.
+    idt = jnp.int8
 
     def step(carry, xs):
         vmem, spike_last, seg_ind, vmem_avg, t_last, agg = carry
@@ -145,12 +149,12 @@ def arsnn_scan(
     init = (
         zero,  # vmem
         zero,  # spike_last
-        jnp.zeros(state_shape, jnp.int32),  # seg_ind
+        jnp.zeros(state_shape, idt),  # seg_ind
         zero,  # vmem_avg
-        jnp.full(state_shape, -1, jnp.int32),  # t_last
+        jnp.full(state_shape, -1, idt),  # t_last
         jnp.zeros((Ts,) + state_shape, f32),  # aggregation
     )
-    ts = jnp.arange(Tm, dtype=jnp.int32)
+    ts = jnp.arange(Tm, dtype=idt)
     (vmem, spike, seg_ind, vmem_avg, t_last, agg), t_rec = jax.lax.scan(
         step, init, (ts, g_in_all, c_in_all), unroll=unroll
     )
@@ -174,5 +178,5 @@ def arsnn_scan(
     if use_abs:
         agg = jax.nn.relu(agg)
     if record:
-        return agg, t_rec
+        return agg, t_rec.astype(jnp.int32)
     return agg

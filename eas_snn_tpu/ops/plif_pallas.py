@@ -1,0 +1,249 @@
+"""Fused PLIF activation as a Pallas TPU kernel (forward AND backward).
+
+Why: the spiking backbone applies a ParametricLIF activation after every
+conv (reference: yolox/utils/utils_snn.py:45-52 ParametricLIFNode,
+step_mode='m'), and the XLA ``lax.scan`` formulation materializes the
+membrane carry between the T steps — measured on a v5e at stem scale
+(384x128x160x48 bf16): conv+BN+ReLU = 4.9 ms but conv+BN+PLIF = 14.4 ms,
+i.e. the neuron TRIPLES every spiking conv site and makes the whole
+backbone HBM-bound (77 GB/batch at B=128). This kernel reads the conv
+output once, runs the T-step neuron recurrence entirely in VMEM, and
+writes the spikes once — the theoretical minimum traffic — for both the
+forward and the hand-derived backward pass.
+
+Layout (the part that actually makes it fast): XLA TPU convolutions keep
+NHWC activations in layout {0,3,2,1} — batch minor (lanes), channels
+second-minor (sublanes). A row-major (T, R, 128) view of that tensor
+costs two full relayout copies around the kernel (measured SLOWER than
+the XLA scan). Instead the kernel takes the (T*B, H, W, C) conv output,
+views it as (H*W*C, T*B) — a pure bitcast of the conv's physical layout
+when C % 8 == 0 — and walks the T steps as 128-aligned lane slices
+(requires B % 128 == 0). Zero copies in, zero copies out.
+
+Semantics (bit-compatible with ops/lif.py:plif_step for f32 inputs; for
+bf16 storage the membrane arithmetic still runs in f32 — closer to the
+torch f32 reference than the XLA scan's per-op bf16 rounding, which flips
+~0.1% of threshold crossings):
+    a = 1 - sigmoid(w)                   # f32, computed OUTSIDE the kernel
+    v_t = v_{t-1} * a + x_t              # f32
+    s_t = H(v_t - thresh)                # hard spike; surrogate grad in bwd
+    v_t <- v_t - thresh * s_t            # soft reset, reset grad attached
+
+Backward (matches the scan's autodiff VJP; tests/test_plif_pallas.py):
+    g_pre_t  = g_after_t + (ds_t - thresh * g_after_t) * f'(v_pre_t - th)
+    dx_t     = g_pre_t
+    da      += sum(g_pre_t * v_after_{t-1})
+    g_after_{t-1} = g_pre_t * a
+``da`` then chains through the outside (1 - sigmoid(w)) expression to dw.
+
+Supported surrogates: atan / rect / sigmoid / tanh (ops/surrogate.py).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["plif_fused", "plif_fused_supported"]
+
+_LANE = 128
+_MAX_ROWS = 512  # per-block sublane rows (chip-swept: 512 > 1024 > 4096 > 128)
+
+
+def _surrogate_deriv(kind: str, alpha: float, x):
+    """f'(x) — mirrors the custom_vjp rules in ops/surrogate.py."""
+    if kind == "atan":
+        t = (math.pi / 2.0) * alpha * x
+        return (alpha / 2.0) / (1.0 + t * t)
+    if kind == "rect":
+        return (jnp.abs(x) < 0.5 / alpha).astype(x.dtype) * alpha
+    if kind == "sigmoid":
+        s = jax.nn.sigmoid(alpha * x)
+        return alpha * s * (1.0 - s)
+    if kind == "tanh":
+        t = jnp.tanh(alpha * x)
+        return 0.5 * alpha * (1.0 - t * t)
+    raise KeyError(kind)
+
+
+def _spike_ge(kind: str) -> bool:
+    """Forward threshold comparison: >= for atan/sigmoid, > for rect/tanh
+    (matching each surrogate's forward in ops/surrogate.py)."""
+    return kind in ("atan", "sigmoid")
+
+
+def _row_tile(R: int) -> int:
+    """Largest divisor of R that is a multiple of 16 and <= _MAX_ROWS
+    (16 = bf16 min sublane tile; also valid for f32), or 0 if none."""
+    top = min(R, _MAX_ROWS)
+    for cand in range(top - (top % 16), 15, -16):
+        if R % cand == 0:
+            return cand
+    return 0
+
+
+def plif_fused_supported(shape4, T: int, dtype) -> bool:
+    """(T*B, H, W, C) conv output is kernel-eligible: the (H*W*C, T*B)
+    view must be a bitcast of the conv's {0,3,2,1} layout (C % 8 == 0) and
+    the T lane-slices must be 128-aligned (B % 128 == 0)."""
+    if len(shape4) != 4 or dtype not in (jnp.bfloat16, jnp.float32):
+        return False
+    TB, H, W, C = shape4
+    if TB % T or (TB // T) % _LANE or C % 8:
+        return False
+    return _row_tile(H * W * C) > 0
+
+
+def _fwd_kernel(a_ref, x_ref, o_ref, *, T, B, thresh, ge):
+    # Membrane arithmetic runs in f32 regardless of the storage dtype —
+    # matching the torch f32 reference (and bit-matching the XLA scan for
+    # f32 inputs). For bf16 inputs the XLA scan rounds v per-op to bf16 and
+    # disagrees with this kernel on ~0.1% of threshold crossings; the f32
+    # membrane is the branch closer to the reference, so it wins.
+    a = a_ref[0]
+    v = jnp.zeros((x_ref.shape[0], B), jnp.float32)
+    for t in range(T):
+        v = v * a + x_ref[:, t * B:(t + 1) * B].astype(jnp.float32)
+        d = v - thresh
+        s = (d >= 0 if ge else d > 0)
+        o_ref[:, t * B:(t + 1) * B] = s.astype(o_ref.dtype)
+        v = v - thresh * s.astype(jnp.float32)
+
+
+def _bwd_kernel(
+    a_ref, x_ref, g_ref, dx_ref, da_ref, acc_ref,
+    *, T, B, thresh, kind, alpha, ge,
+):
+    a32 = a_ref[0]
+    # Recompute the forward in f32 — same arithmetic as _fwd_kernel, so the
+    # spike set matches the forward exactly.
+    v = jnp.zeros((x_ref.shape[0], B), jnp.float32)
+    v_pre, v_after_prev = [], [jnp.zeros((x_ref.shape[0], B), jnp.float32)]
+    for t in range(T):
+        v = v * a32 + x_ref[:, t * B:(t + 1) * B].astype(jnp.float32)
+        v_pre.append(v)
+        d = v - thresh
+        s = (d >= 0 if ge else d > 0).astype(jnp.float32)
+        v = v - thresh * s
+        v_after_prev.append(v)
+
+    g_after = jnp.zeros((x_ref.shape[0], B), jnp.float32)
+    da = jnp.float32(0.0)
+    for t in range(T - 1, -1, -1):
+        fp = _surrogate_deriv(kind, alpha, v_pre[t] - thresh)
+        g32 = g_ref[:, t * B:(t + 1) * B].astype(jnp.float32)
+        g_pre = g_after + (g32 - thresh * g_after) * fp
+        dx_ref[:, t * B:(t + 1) * B] = g_pre.astype(dx_ref.dtype)
+        da = da + jnp.sum(g_pre * v_after_prev[t])
+        g_after = g_pre * a32
+
+    # Accumulate the scalar decay-grad across (sequential) grid steps.
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        acc_ref[0] = jnp.float32(0.0)
+
+    acc_ref[0] += da
+    da_ref[0] = acc_ref[0]
+
+
+def _lanes_view(x4, T):
+    """(T*B, H, W, C) -> (H*W*C, T*B): a bitcast of the conv layout."""
+    TB, H, W, C = x4.shape
+    return x4.transpose(1, 2, 3, 0).reshape(H * W * C, TB)
+
+
+@lru_cache(maxsize=None)
+def _make_plif_fused(
+    kind: str, alpha: float, thresh: float, T: int, interpret: bool
+):
+    ge = _spike_ge(kind)
+
+    @jax.custom_vjp
+    def fn(x2, a32):
+        return _fwd(x2, a32)
+
+    def _fwd(x2, a32):
+        R, TB = x2.shape
+        B = TB // T
+        rt = _row_tile(R)
+        return pl.pallas_call(
+            partial(_fwd_kernel, T=T, B=B, thresh=thresh, ge=ge),
+            out_shape=jax.ShapeDtypeStruct(x2.shape, x2.dtype),
+            grid=(R // rt,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((rt, TB), lambda i: (i, 0)),
+            ],
+            out_specs=pl.BlockSpec((rt, TB), lambda i: (i, 0)),
+            interpret=interpret,
+        )(a32, x2)
+
+    def fwd_rule(x2, a32):
+        return _fwd(x2, a32), (x2, a32)
+
+    def bwd_rule(res, g2):
+        x2, a32 = res
+        R, TB = x2.shape
+        B = TB // T
+        rt = _row_tile(R)
+        dx2, da = pl.pallas_call(
+            partial(
+                _bwd_kernel, T=T, B=B, thresh=thresh, kind=kind,
+                alpha=alpha, ge=ge,
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct(x2.shape, x2.dtype),
+                jax.ShapeDtypeStruct((1,), jnp.float32),
+            ),
+            grid=(R // rt,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((rt, TB), lambda i: (i, 0)),
+                pl.BlockSpec((rt, TB), lambda i: (i, 0)),
+            ],
+            out_specs=(
+                pl.BlockSpec((rt, TB), lambda i: (i, 0)),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ),
+            scratch_shapes=[pltpu.SMEM((1,), jnp.float32)],
+            interpret=interpret,
+        )(a32, x2, g2)
+        return dx2, da
+
+    fn.defvjp(fwd_rule, bwd_rule)
+    return fn
+
+
+def plif_fused(
+    x_tb: jnp.ndarray,
+    T: int,
+    w: jnp.ndarray,
+    *,
+    thresh: float = 1.0,
+    spike_fn: str = "atan",
+    alpha: float = 2.0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused PLIF over a (T*B, H, W, C) folded sequence; returns spikes of
+    the same shape. Drop-in for the reshape+``plif_scan`` path when
+    ``plif_fused_supported(x_tb.shape, T, x_tb.dtype)``.
+    """
+    if spike_fn == "rect":
+        alpha = 1.0  # the registry pins rect to alpha=1 (surrogate.py:170)
+    fn = _make_plif_fused(
+        spike_fn, float(alpha), float(thresh), int(T), interpret
+    )
+    # Decay multiplier computed OUTSIDE the kernel in f32 (the kernel's
+    # membrane arithmetic is f32 regardless of storage dtype); the
+    # w-gradient chains through this expression automatically (the kernel
+    # returns d/da).
+    a = 1.0 - jax.nn.sigmoid(w.astype(jnp.float32))
+    x2 = _lanes_view(x_tb, T)
+    s2 = fn(x2, a.reshape(1))
+    TB, H, W, C = x_tb.shape
+    return s2.reshape(H, W, C, TB).transpose(3, 0, 1, 2)

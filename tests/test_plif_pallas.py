@@ -1,0 +1,135 @@
+"""Fused Pallas PLIF kernel vs the XLA scan reference (interpret mode).
+
+Checks the three contracts the backbone relies on:
+  * forward spikes bit-equal to ops/lif.py:plif_scan;
+  * input gradient and decay-logit gradient match the scan's autodiff VJP
+    (an explicit f64 oracle for bf16, where the CPU scan itself is sloppy);
+  * the PLIF module routes through the kernel and stays equivalent.
+
+The kernel requires B % 128 == 0 (T steps are 128-aligned lane slices of
+the conv's batch-minor layout), so fixtures use B=128 with small H/W/C.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from eas_snn_tpu.ops.lif import plif_scan
+from eas_snn_tpu.ops.plif_pallas import plif_fused, plif_fused_supported
+from eas_snn_tpu.ops.surrogate import get_spike_fn
+
+T, B, H, W, C = 3, 128, 4, 4, 16
+
+
+def _ref(x_tb, w, kind, alpha, thresh=1.0):
+    """XLA scan path on the folded (T*B, H, W, C) input."""
+    xs = x_tb.reshape((T, B) + x_tb.shape[1:])
+    fn = get_spike_fn(kind, alpha)
+    s, _ = plif_scan(xs, w.astype(x_tb.dtype), fn, thresh)
+    return s.reshape(x_tb.shape)
+
+
+def _x(seed, dtype):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.normal(0.8, 0.8, (T * B, H, W, C)), dtype)
+
+
+@pytest.mark.parametrize("kind", ["atan", "rect", "sigmoid", "tanh"])
+def test_forward_bit_equal_f32(kind):
+    x = _x(0, jnp.float32)
+    w = jnp.float32(0.3)
+    assert plif_fused_supported(x.shape, T, x.dtype)
+    got = plif_fused(x, T, w, spike_fn=kind, alpha=2.0, interpret=True)
+    want = _ref(x, w, kind, 2.0)
+    assert got.dtype == want.dtype
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("kind", ["atan", "rect"])
+def test_forward_bf16_matches_f32_membrane(kind):
+    """bf16 storage: the kernel's membrane runs in f32, so the oracle is
+    the f32 scan over upcast inputs (NOT the bf16-rounded XLA scan, which
+    the kernel intentionally improves on — see module docstring)."""
+    x = _x(0, jnp.float32).astype(jnp.bfloat16)
+    w = jnp.float32(0.3)
+    got = plif_fused(x, T, w, spike_fn=kind, alpha=2.0, interpret=True)
+    want = _ref(x.astype(jnp.float32), w, kind, 2.0).astype(jnp.bfloat16)
+    assert got.dtype == x.dtype
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("kind", ["atan", "rect"])
+def test_gradients_match_scan_vjp(kind):
+    x = _x(1, jnp.float32)
+    w = jnp.float32(-0.2)
+    g = jnp.asarray(
+        np.random.default_rng(9).normal(size=x.shape), jnp.float32
+    )
+
+    def loss_ref(x, w):
+        return (_ref(x, w, kind, 2.0) * g).sum()
+
+    def loss_fused(x, w):
+        return (
+            plif_fused(x, T, w, spike_fn=kind, alpha=2.0, interpret=True) * g
+        ).sum()
+
+    dx_r, dw_r = jax.grad(loss_ref, argnums=(0, 1))(x, w)
+    dx_f, dw_f = jax.grad(loss_fused, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(
+        np.asarray(dx_f), np.asarray(dx_r), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(float(dw_f), float(dw_r), rtol=1e-4)
+
+
+def test_gradients_bf16_input(kind="atan"):
+    """bf16 grads vs the f32-membrane scan VJP on upcast inputs — the
+    kernel's arithmetic is defined as f32-over-bf16-storage, so the f32
+    scan (whose VJP accumulates the decay grad in f32, unlike the bf16
+    CPU scan, which saturates at ~|128|) is the exact oracle."""
+    x = _x(2, jnp.float32).astype(jnp.bfloat16)
+    w = jnp.float32(0.1)
+    g = jnp.ones(x.shape, jnp.bfloat16)
+
+    def loss_fused(x, w):
+        return (
+            plif_fused(x, T, w, spike_fn=kind, alpha=2.0, interpret=True) * g
+        ).astype(jnp.float32).sum()
+
+    def loss_ref(x, w):
+        s = _ref(x.astype(jnp.float32), w, kind, 2.0)
+        return (s * g.astype(jnp.float32)).sum()
+
+    dx_f, dw_f = jax.grad(loss_fused, argnums=(0, 1))(x, w)
+    dx_r, dw_r = jax.grad(loss_ref, argnums=(0, 1))(x, w)
+    assert dx_f.dtype == x.dtype and dx_r.dtype == x.dtype
+    np.testing.assert_allclose(float(dw_f), float(dw_r), rtol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(dx_f, np.float32), np.asarray(dx_r, np.float32),
+        rtol=1e-2, atol=1e-2,
+    )
+
+
+def test_supported_gate():
+    # batch not a multiple of 128 -> unsupported
+    assert not plif_fused_supported((3 * 64, 4, 4, 16), 3, jnp.float32)
+    # channels not a multiple of 8 -> layout view not a bitcast
+    assert not plif_fused_supported((3 * 128, 4, 4, 12), 3, jnp.float32)
+    # int dtype -> unsupported
+    assert not plif_fused_supported((3 * 128, 4, 4, 16), 3, jnp.int32)
+    assert plif_fused_supported((3 * 128, 16, 20, 48), 3, jnp.bfloat16)
+
+
+def test_plif_module_fused_path_equivalence():
+    from eas_snn_tpu.models.blocks import PLIF
+
+    x = _x(3, jnp.float32)
+    m_ref = PLIF(T=T, fuse="never")
+    m_fused = PLIF(T=T, fuse="interpret")
+    v = m_ref.init(jax.random.PRNGKey(0), x)
+    y_ref = m_ref.apply(v, x)
+    y_fused = m_fused.apply(v, x)
+    np.testing.assert_array_equal(np.asarray(y_fused), np.asarray(y_ref))
