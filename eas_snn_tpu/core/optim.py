@@ -144,7 +144,11 @@ def _label_params(params: Dict[str, Any]) -> Dict[str, Any]:
 
 
 def _decay_mask(params: Dict[str, Any]) -> Dict[str, Any]:
-    """True only for conv/dense kernels outside BN — the reference's pg1."""
+    """True only for conv/dense kernels outside BN — the reference's pg1.
+
+    The embedding subtree is excluded entirely: the reference skips
+    embedding modules when building pg0-2 and adds ALL embedding params as
+    pg4 with no weight_decay (event_yolox_base.py:389,404-411)."""
 
     def walk(tree, path):
         if isinstance(tree, dict):
@@ -154,7 +158,8 @@ def _decay_mask(params: Dict[str, Any]) -> Dict[str, Any]:
             "kernel" in name
         )
         in_bn = any(p == "bn" or p.startswith("bn") for p in path)
-        return bool(is_kernel and not in_bn)
+        in_emb = any(p in ("emb", "embedding") for p in path)
+        return bool(is_kernel and not in_bn and not in_emb)
 
     return walk(params, ())
 
@@ -176,14 +181,20 @@ def build_optimizer(
         chain = []
         if grad_clip is not None:
             chain.append(optax.clip_by_global_norm(grad_clip))
-        if optimizer.upper() == "ADAM":
-            chain.append(optax.scale_by_adam())
-        else:
-            chain.append(optax.trace(decay=momentum, nesterov=True))
+        # torch couples weight decay INTO the gradient before the moment
+        # estimates (torch.optim.Adam/SGD semantics, which the reference's
+        # get_optimizer relies on) — so add_decayed_weights must run BEFORE
+        # scale_by_adam/trace, not after (which would be decoupled AdamW).
+        # Verified end-to-end by the Adam train-trajectory cross-check in
+        # tests/test_pipeline_parity.py::TestFullCompositionParity.
         if weight_decay > 0:
             chain.append(
                 optax.add_decayed_weights(weight_decay, mask=_decay_mask(params))
             )
+        if optimizer.upper() == "ADAM":
+            chain.append(optax.scale_by_adam())
+        else:
+            chain.append(optax.trace(decay=momentum, nesterov=True))
         chain.append(optax.scale_by_learning_rate(lambda s: lr_schedule(s) * scale))
         return optax.chain(*chain)
 

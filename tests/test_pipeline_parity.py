@@ -602,3 +602,454 @@ class TestNCaltechPipelineParity:
             np.testing.assert_array_equal(
                 _sorted_rows(rf_labels), _sorted_rows(of_labels)
             )
+
+
+# ---------------------------------------------------------------------------
+# RVT-preprocessed GEN4: the reference's own RVTGEN4Dataset h5 reader next to
+# ours on shared synthetic fixtures (reference: yolox/data/datasets/
+# rvt_gen4.py:56 generate_slices :109-125, extract_labels ds2 rescale
+# :365-409). Closes the one dataset family the round-2 harness covered only
+# with unit tests.
+# ---------------------------------------------------------------------------
+
+TL_RVT = 6  # > first repr index + 1 -> exercises the zero-padded history
+
+
+@pytest.fixture(scope="module")
+def rvt_dir(tmp_path_factory):
+    h5py = pytest.importorskip("h5py")
+    root = tmp_path_factory.mktemp("rvt_fixture")
+    rng = np.random.default_rng(13)
+    rep = "stacked_histogram_dt=50_nbins=10"
+    label_dtype = np.dtype([
+        ("t", "<i8"), ("x", "<f4"), ("y", "<f4"), ("w", "<f4"), ("h", "<f4"),
+        ("class_id", "<u4"), ("class_confidence", "<f4"), ("track_id", "<u4"),
+    ])
+    n_frames, nbins = 5, 10
+    for s in range(2):
+        seq = root / f"seq{s:02d}"
+        ldir = seq / "labels_v2"
+        rdir = seq / "event_representations_v2" / rep
+        ldir.mkdir(parents=True)
+        rdir.mkdir(parents=True)
+        n_repr = n_frames + 4
+        data = rng.integers(0, 3, (n_repr, nbins, 360, 640)).astype(np.uint8)
+        with h5py.File(rdir / "event_representations_ds2_nearest.h5", "w") as f:
+            f.create_dataset("data", data=data)
+        np.save(rdir / "objframe_idx_2_repr_idx.npy",
+                np.arange(4, 4 + n_frames).astype(np.int64))
+        np.save(rdir / "timestamps_us.npy",
+                (np.arange(n_repr) * 50_000).astype(np.int64))
+        rows, frame_idx = [], []
+        for i in range(n_frames):
+            frame_idx.append(len(rows))
+            # original-res (720x1280) boxes incl. the reference's untouched
+            # class-5 label (extract_labels applies NO class filter) and
+            # crop/degenerate edge cases for the ds2 rescale (:371-388)
+            rows.append((i * 50_000, 100.0, 80.0, 120.0, 90.0, 1, 1.0, i))
+            rows.append((i * 50_000, 400.0, 200.0, 60.0, 70.0, 5, 1.0, i))
+            rows.append((i * 50_000, -30.0, 650.0, 90.0, 100.0, 0, 1.0, i))
+            rows.append((i * 50_000, 1270.0, 10.0, 50.0, 40.0, 2, 1.0, i))
+        labels = np.zeros(len(rows), label_dtype)
+        for j, r in enumerate(rows):
+            labels[j] = r
+        np.savez(ldir / "labels.npz", labels=labels,
+                 objframe_idx_2_label_idx=np.asarray(frame_idx, np.int64))
+        np.save(ldir / "timestamps_us.npy",
+                (np.arange(n_frames) * 50_000).astype(np.int64))
+    return str(root)
+
+
+class TestRVTGen4PipelineParity:
+    def _ref(self, rvt_dir, map_val=True):
+        from yolox.data.datasets.rvt_gen4 import RVTGEN4Dataset
+        from yolox.data.event_data_augment import (
+            TrainTransform as RefTrain,
+            ValTransform as RefVal,
+        )
+
+        return RVTGEN4Dataset(
+            data_path=rvt_dir, input_size=(384, 640), random_aug=False,
+            img_size=(360, 640), letterbox_image=True, map_val=map_val,
+            format="cxcywh",
+            target_transform=RefVal() if map_val else RefTrain(max_labels=50),
+            down_sample_factor=2,
+            aggregation="event_sum", num_slice=TL_RVT,
+        )
+
+    def _ours(self, rvt_dir, map_val=True):
+        from eas_snn_tpu.data.gen4 import RVTGen4Dataset
+
+        return RVTGen4Dataset(
+            rvt_dir, input_size=(384, 640), training=False, map_val=map_val,
+            aggregation="event_sum", num_slice=TL_RVT,
+            letterbox_val=True,
+        )
+
+    @staticmethod
+    def _match(ref, ours, i):
+        """Map our sample i to the reference's index by (seq, label time):
+        name formats differ (ours '<seq>_r<g>_a<t>' vs ref
+        '<seq>_n<num_slice>_a<t>', rvt_gen4.py:246-248) and the reference
+        iterates os.listdir unsorted."""
+        name = ours.sample_names[i]
+        seq, _, tail = name.rpartition("_r")
+        t = tail.rpartition("_a")[2]
+        return ref.sample_names.index(f"{seq}_n{TL_RVT}_a{t}")
+
+    def test_ds2_labels_identical(self, rvt_dir):
+        ref = self._ref(rvt_dir)
+        ours = self._ours(rvt_dir)
+        assert len(ref) == len(ours) == 10
+        for i in range(len(ours)):
+            j = self._match(ref, ours, i)
+            rf, rt = ref.resolve_index(j)
+            of, og = ours.resolve_index(i)
+            lab = ref.labels[rf][rt]
+            # reference rows are ds2-rescaled [t, x, y, w, h, cls, conf]
+            ref_xyxy = np.stack(
+                [lab[:, 1], lab[:, 2], lab[:, 1] + lab[:, 3],
+                 lab[:, 2] + lab[:, 4], lab[:, 5]], axis=-1,
+            )
+            np.testing.assert_allclose(
+                _sorted_rows(ref_xyxy), _sorted_rows(ours.raw_boxes(of, og)),
+                rtol=1e-5, atol=1e-5,
+            )
+
+    def test_generate_slices_identical(self, rvt_dir):
+        """Bit-identical stacked-histogram frames, incl. the zero-padded
+        missing history of early samples (rvt_gen4.py:123-124)."""
+        ref = self._ref(rvt_dir)
+        ours = self._ours(rvt_dir)
+        padded_seen = False
+        for i in range(len(ours)):
+            j = self._match(ref, ours, i)
+            rf, rt = ref.resolve_index(j)
+            of, og = ours.resolve_index(i)
+            ref_frames = ref.generate_slices(rf, rt, TL_RVT, "event_sum")
+            our_frames = np.asarray(ours.generate_slices(of, og), np.float64)
+            np.testing.assert_array_equal(
+                _ref_frames_to_ours(ref_frames), our_frames
+            )
+            if not our_frames[0, 0].any():
+                padded_seen = True
+        assert padded_seen, "fixture must exercise the zero-padded history"
+
+    def test_map_val_getitem_identical(self, rvt_dir):
+        """Full __getitem__ (letterbox 360x640 -> 384x640 + ValTransform):
+        frames and raw ds2 boxes equal."""
+        ref = self._ref(rvt_dir, map_val=True)
+        ours = self._ours(rvt_dir, map_val=True)
+        for i in range(len(ours)):
+            j = self._match(ref, ours, i)
+            rf_frames, rf_boxes, _, _ = ref[j]
+            of_frames, of_boxes, _, _ = ours[i]
+            np.testing.assert_allclose(
+                _ref_frames_to_ours(rf_frames),
+                np.asarray(of_frames, np.float64),
+                rtol=1e-5, atol=1e-4,
+            )
+            np.testing.assert_allclose(
+                _sorted_rows(rf_boxes), _sorted_rows(of_boxes),
+                rtol=1e-5, atol=1e-5,
+            )
+
+
+# ---------------------------------------------------------------------------
+# Full composition with the ARSNN sampler in the loop: reference
+# YOLOX(use_spike=False, embedding=AdaptiveRSNNEmbedding) vs our
+# EASYOLOX(use_spike='none', embedding='arsnn') on translated weights —
+# eval-path equality on the GEN1 fixtures, then a 3-step Adam
+# train-trajectory cross-check against the reference's 5-group optimizer
+# (emb_lr group, coupled weight decay; reference:
+# yolox/exp/event_yolox_base.py:353-416, core/trainer.py:95-135).
+# ---------------------------------------------------------------------------
+
+
+class TestFullCompositionParity:
+    DEPTH, WIDTH, NC = 0.33, 0.25, 2
+    TM = 3
+    TS = 2
+    LR, EMB_LR, WD = 1e-3, 2e-3, 5e-4
+
+    def _ref_model(self):
+        from yolox.models.activation import Rectangle
+        from yolox.models.embedding import AdaptiveRSNNEmbedding
+        from yolox.models.yolo_head import YOLOXHead as RefHead
+        from yolox.models.yolo_pafpn import YOLOPAFPN as RefPAFPN
+        from yolox.models.yolox import YOLOX as RefYOLOX
+
+        torch.manual_seed(3)
+        emb = AdaptiveRSNNEmbedding(
+            kernel_size=3, Ts=self.TS, depth=2, readout="sum",
+            write_zero=True, spike_attach=False,
+            nb_steps=self.TM, thresh=1.0, vreset=None, spike_fn=Rectangle,
+        )
+        model = RefYOLOX(
+            backbone=RefPAFPN(self.DEPTH, self.WIDTH, in_dim=2),
+            head=RefHead(self.NC, self.WIDTH),
+            embedding=emb,
+        )
+        # init_yolo BN semantics (reference exp/event_yolox_base.py:179-183)
+        for m in model.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.eps = 1e-3
+                m.momentum = 0.03
+        return model
+
+    def _our_model(self):
+        from eas_snn_tpu.models import EASYOLOX
+
+        return EASYOLOX(
+            num_classes=self.NC, depth=self.DEPTH, width=self.WIDTH,
+            use_spike="none", embedding="arsnn", embedding_ksize=3,
+            embedding_depth=2, Ts=self.TS, readout="sum", write_zero=True,
+            spike_fn="rect", alpha=1.0, thresh=1.0, vreset=None,
+        )
+
+    def _translate(self, ref_model, variables):
+        from eas_snn_tpu.utils.torch_import import translate_torch_checkpoint
+
+        sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+        v2, report = translate_torch_checkpoint(sd, variables)
+        assert report["unmapped"] == 0, report
+        return v2
+
+    def _batches(self, gen1_dir, map_val):
+        """Identical (frames, labels) through each pipeline's own reader:
+        Tl=1, Tm=3 micro_sum at 256x320 letterbox."""
+        from yolox.data.datasets.gen1 import GEN1Dataset
+        from yolox.data.event_data_augment import (
+            TrainTransform as RefTrain,
+            ValTransform as RefVal,
+        )
+
+        from eas_snn_tpu.data.gen1 import Gen1Dataset
+
+        ref_ds = GEN1Dataset(
+            data_path=gen1_dir, input_size=(256, 320), random_aug=False,
+            img_size=(H_RAW, W_RAW), continuous=True, slice_policy="fix_t",
+            letterbox_image=True, map_val=map_val, format="cxcywh",
+            target_transform=RefVal() if map_val else RefTrain(max_labels=50),
+            aggregation="micro_sum", overlap=0, num_slice=1,
+            micro_slice=self.TM, measure="count", window=WINDOW,
+        )
+        our_ds = Gen1Dataset(
+            data_dir=gen1_dir, input_size=(256, 320), training=False,
+            map_val=map_val, aggregation="micro_sum", num_slice=1,
+            micro_slice=self.TM, window=WINDOW, letterbox_val=True,
+        )
+        rf, of, rl, ol = [], [], [], []
+        for i in range(len(our_ds)):
+            j = ref_ds.sample_names.index(our_ds.sample_names[i])
+            a = ref_ds[j]
+            b = our_ds[i]
+            rf.append(np.asarray(a[0], np.float32))
+            of.append(np.asarray(b[0], np.float32))
+            rl.append(np.asarray(a[1], np.float32))
+            ol.append(np.asarray(b[1], np.float32))
+        return (np.stack(rf), np.stack(of), rl, ol)
+
+    def test_eval_composition_equal(self, gen1_dir):
+        import jax
+        import jax.numpy as jnp
+
+        ref_model = self._ref_model().eval()
+        ours = self._our_model()
+        rf, of, _, _ = self._batches(gen1_dir, map_val=True)
+        # (B, Tl=1, Tm, 2, H, W) -> channel-last for ours
+        xo = jnp.asarray(of)  # ours is already channel-last
+        variables = jax.jit(
+            ours.init, static_argnames=("train",)
+        )(jax.random.PRNGKey(0), xo[:1], train=False)
+        v2 = self._translate(ref_model, variables)
+
+        with torch.no_grad():
+            ref_out = ref_model(torch.from_numpy(rf)).numpy()
+        our_out = np.asarray(
+            jax.jit(lambda v, e: ours.apply(v, e, train=False))(
+                {"params": v2["params"], "batch_stats": v2["batch_stats"]},
+                xo,
+            )
+        )
+        # decoded (B, A, 5+C) raw head outputs: spike dynamics are exact in
+        # f32 (rect threshold on identical floats), detector is pure conv
+        np.testing.assert_allclose(our_out, ref_out, rtol=5e-3, atol=5e-3)
+
+    def test_adam_train_trajectory(self, gen1_dir):
+        import jax
+        import jax.numpy as jnp
+        import optax
+
+        from eas_snn_tpu.core.optim import build_optimizer
+
+        ref_model = self._ref_model().train()
+        ours = self._our_model()
+        rf, of, rl, ol = self._batches(gen1_dir, map_val=False)
+        # Identical inputs on both sides: the reference pipeline's frames +
+        # labels (its int64-truncated letterbox GT at scale != 1 is a
+        # documented divergence covered by TestGetitemParity; this test
+        # isolates model + loss + optimizer-trajectory parity).
+        xo = jnp.asarray(np.moveaxis(rf, 3, -1))
+        tgt = jnp.asarray(np.stack(rl))
+        variables = jax.jit(
+            ours.init, static_argnames=("train",)
+        )(jax.random.PRNGKey(0), xo[:1], tgt[:1], train=True)
+        v2 = self._translate(ref_model, variables)
+        params, bstats = v2["params"], v2["batch_stats"]
+
+        # ---- reference 5-group Adam (event_yolox_base.py:379-411)
+        pg0, pg1, pg2, pg4 = [], [], [], []
+        for k, v in ref_model.named_modules():
+            if "embedding" in k:
+                continue
+            if hasattr(v, "bias") and isinstance(v.bias, torch.nn.Parameter):
+                pg2.append(v.bias)
+            if isinstance(v, torch.nn.BatchNorm2d) or "bn" in k:
+                pg0.append(v.weight)
+            elif hasattr(v, "weight") and isinstance(v.weight, torch.nn.Parameter):
+                pg1.append(v.weight)
+        pg4 = [p for p in ref_model.embedding.parameters() if p.requires_grad]
+        opt = torch.optim.Adam(pg0, lr=self.LR, amsgrad=False)
+        opt.add_param_group({"params": pg1, "weight_decay": self.WD})
+        opt.add_param_group({"params": pg2})
+        opt.add_param_group({"params": pg4, "lr": self.EMB_LR})
+
+        tx = build_optimizer(
+            params, lambda s: self.LR, optimizer="ADAM",
+            weight_decay=self.WD, emb_lr=self.EMB_LR, base_lr=self.LR,
+        )
+        opt_state = tx.init(params)
+
+        def loss_fn(p, bs, ev, tg):
+            out, muts = ours.apply(
+                {"params": p, "batch_stats": bs}, ev, tg, train=True,
+                mutable=["batch_stats"],
+            )
+            return out["total_loss"], (out, muts["batch_stats"])
+
+        step = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
+        xt = torch.from_numpy(rf)
+        tt = torch.from_numpy(np.stack(rl))
+
+        for it in range(3):
+            ref_out = ref_model(xt, tt)
+            ref_loss = ref_out["total_loss"]
+            opt.zero_grad()
+            ref_loss.backward()
+            opt.step()
+
+            (loss, (out, bstats)), grads = step(params, bstats, xo, tgt)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+
+            assert float(loss) == pytest.approx(
+                float(ref_loss.detach()), rel=2e-3
+            ), f"step {it}: loss diverged"
+            assert float(out["num_fg"]) == pytest.approx(
+                float(ref_out["num_fg"]), rel=1e-6
+            ), f"step {it}: SimOTA assignment count diverged"
+
+        # Parameter-movement magnitude after 3 steps. Elementwise (or tight
+        # per-leaf) equality is NOT attainable: leaves with near-zero
+        # gradients take sign-noise-driven +/-lr Adam random walks, so a
+        # single small leaf's movement norm legitimately varies ~20%
+        # between frameworks. The *aggregate* movement is gradient-driven
+        # and pins lr/emb_lr/decay systematically (5%), while a loose 2x
+        # per-leaf band still catches a mis-grouped leaf (3x emb_lr, a
+        # decayed BN vector). Exact update semantics are pinned separately
+        # by test_adam_group_semantics_match_torch; on-trajectory params
+        # are already proven by the step-1/2 loss equality above.
+        v_after = self._translate(
+            ref_model, {"params": params, "batch_stats": bstats}
+        )
+        flat_ref = jax.tree_util.tree_leaves(v_after["params"])
+        flat_our = jax.tree_util.tree_leaves(params)
+        flat_init = jax.tree_util.tree_leaves(v2["params"])
+        tot_ref = tot_our = 0.0
+        for a, b, p0 in zip(flat_ref, flat_our, flat_init):
+            d_ref = float(np.linalg.norm(np.asarray(a) - np.asarray(p0)))
+            d_our = float(np.linalg.norm(np.asarray(b) - np.asarray(p0)))
+            tot_ref += d_ref * d_ref
+            tot_our += d_our * d_our
+            if d_ref < 1e-7 and d_our < 1e-7:
+                continue
+            assert d_our == pytest.approx(d_ref, rel=1.0), (
+                f"leaf movement diverged: ours {d_our} vs ref {d_ref}"
+            )
+        assert np.sqrt(tot_our) == pytest.approx(np.sqrt(tot_ref), rel=0.05)
+
+
+def test_adam_group_semantics_match_torch():
+    """build_optimizer must reproduce torch's 5-group Adam EXACTLY on
+    synthetic gradients: coupled weight decay on non-BN kernels only, no
+    decay anywhere in the embedding subtree (reference pg4,
+    event_yolox_base.py:389-411), and the separate emb_lr."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from eas_snn_tpu.core.optim import build_optimizer
+
+    LR, EMB_LR, WD = 1e-3, 3e-3, 5e-4
+    rng = np.random.default_rng(5)
+
+    shapes = {
+        ("backbone", "conv", "kernel"): (3, 3, 4, 8),
+        ("backbone", "bn", "scale"): (8,),
+        ("backbone", "bn", "bias"): (8,),
+        ("head", "conv", "bias"): (8,),
+        ("embedding", "input_conv_kernel0"): (3, 3, 2, 4),
+        ("embedding", "input_conv_bias0"): (4,),
+    }
+    vals = {k: rng.normal(size=s).astype(np.float32) for k, s in shapes.items()}
+    grads_seq = [
+        {k: rng.normal(size=s).astype(np.float32) for k, s in shapes.items()}
+        for _ in range(5)
+    ]
+
+    def to_tree(d):
+        tree = {}
+        for path, v in d.items():
+            node = tree
+            for p in path[:-1]:
+                node = node.setdefault(p, {})
+            node[path[-1]] = jnp.asarray(v)
+        return tree
+
+    params = to_tree(vals)
+    tx = build_optimizer(
+        params, lambda s: LR, optimizer="ADAM", weight_decay=WD,
+        emb_lr=EMB_LR, base_lr=LR,
+    )
+    opt_state = tx.init(params)
+    for g in grads_seq:
+        updates, opt_state = tx.update(to_tree(g), opt_state, params)
+        params = optax.apply_updates(params, updates)
+
+    # torch: pg0 BN weights (no decay) / pg1 kernels (decay) / pg2 biases /
+    # pg4 embedding (own lr, no decay)
+    tparams = {k: torch.nn.Parameter(torch.from_numpy(v.copy()))
+               for k, v in vals.items()}
+    pg0 = [tparams[("backbone", "bn", "scale")]]
+    pg1 = [tparams[("backbone", "conv", "kernel")]]
+    pg2 = [tparams[("backbone", "bn", "bias")], tparams[("head", "conv", "bias")]]
+    pg4 = [tparams[("embedding", "input_conv_kernel0")],
+           tparams[("embedding", "input_conv_bias0")]]
+    opt = torch.optim.Adam(pg0, lr=LR, amsgrad=False)
+    opt.add_param_group({"params": pg1, "weight_decay": WD})
+    opt.add_param_group({"params": pg2})
+    opt.add_param_group({"params": pg4, "lr": EMB_LR})
+    for g in grads_seq:
+        opt.zero_grad()
+        for k, p in tparams.items():
+            p.grad = torch.from_numpy(g[k].copy())
+        opt.step()
+
+    flat, _ = jax.tree_util.tree_flatten_with_path(params)
+    got = {tuple(p.key for p in path): np.asarray(v) for path, v in flat}
+    for k, p in tparams.items():
+        np.testing.assert_allclose(
+            got[k], p.detach().numpy(), rtol=1e-6, atol=1e-7,
+            err_msg=str(k),
+        )
