@@ -79,9 +79,13 @@ class EventEvaluator:
         self, forward_fn: Callable[[np.ndarray], np.ndarray]
     ) -> Tuple[float, float, str]:
         """Returns (AP@[.5:.95], AP@.5, summary text)
-        (reference evaluate: event_evaluator.py:122-263)."""
-        det_rows: List[List[float]] = []
-        gt_rows: List[List[float]] = []
+        (reference evaluate: event_evaluator.py:122-263).
+
+        Row assembly is batch-vectorized numpy (no per-detection python
+        loop): at Prophesee scale (~470k GEN1 val boxes) python row appends
+        dominated eval wall-clock."""
+        det_blocks: List[np.ndarray] = []
+        gt_blocks: List[np.ndarray] = []
         n_samples = 0
         fwd_time = 0.0
         nms_time = 0.0
@@ -103,26 +107,37 @@ class EventEvaluator:
                 n_samples += 1
                 scale = self._letterbox_scale(float(img_h), float(img_w))
                 # GT rows: raw-size [cx, cy, w, h, cls] -> corner xywh
-                lab = np.asarray(lab)
-                for cx, cy, w, h, cls_id in lab.reshape(-1, 5):
-                    gt_rows.append(
-                        [int(sid), cls_id, cx - w / 2, cy - h / 2, w, h, 0]
-                    )
+                lab = np.asarray(lab, np.float64).reshape(-1, 5)
+                if len(lab):
+                    g = np.zeros((len(lab), 7), np.float64)
+                    g[:, 0] = int(sid)
+                    g[:, 1] = lab[:, 4]
+                    g[:, 2] = lab[:, 0] - lab[:, 2] / 2
+                    g[:, 3] = lab[:, 1] - lab[:, 3] / 2
+                    g[:, 4] = lab[:, 2]
+                    g[:, 5] = lab[:, 3]
+                    gt_blocks.append(g)
                 if det is None:
                     continue
                 # det: (n, 7) [x1, y1, x2, y2, obj, cls_conf, cls]
-                b = det[:, :4] / scale
-                scores = det[:, 4] * det[:, 5]
-                for i in range(len(det)):
-                    gt_w = b[i, 2] - b[i, 0]
-                    gt_h = b[i, 3] - b[i, 1]
-                    det_rows.append(
-                        [int(sid), det[i, 6], b[i, 0], b[i, 1], gt_w, gt_h,
-                         scores[i]]
-                    )
+                b = det[:, :4].astype(np.float64) / scale
+                d = np.empty((len(det), 7), np.float64)
+                d[:, 0] = int(sid)
+                d[:, 1] = det[:, 6]
+                d[:, 2] = b[:, 0]
+                d[:, 3] = b[:, 1]
+                d[:, 4] = b[:, 2] - b[:, 0]
+                d[:, 5] = b[:, 3] - b[:, 1]
+                d[:, 6] = det[:, 4] * det[:, 5]
+                det_blocks.append(d)
 
-        det_arr = _allgather_rows(np.asarray(det_rows, np.float64).reshape(-1, 7))
-        gt_arr = _allgather_rows(np.asarray(gt_rows, np.float64).reshape(-1, 7))
+        def _cat(blocks):
+            if not blocks:
+                return np.zeros((0, 7), np.float64)
+            return np.concatenate(blocks, axis=0)
+
+        det_arr = _allgather_rows(_cat(det_blocks))
+        gt_arr = _allgather_rows(_cat(gt_blocks))
 
         res = DetEval(self.num_classes).evaluate(det_arr, gt_arr)
         class_names = getattr(self.dataloader.dataset, "class_names", ())
@@ -213,7 +228,7 @@ class PSEEEvaluator(EventEvaluator):
         stream_idx = {n: i for i, n in enumerate(stream_names)}
 
         def flatten(per_stream, with_conf):
-            rows = []
+            blocks = []
             for stream, parts in per_stream.items():
                 si = stream_idx[stream]
                 for part in parts:
@@ -222,11 +237,14 @@ class PSEEEvaluator(EventEvaluator):
                     else:
                         t_us, x, y, w, h, cls = part
                         conf = np.ones(len(x), np.float32)
-                    for j in range(len(x)):
-                        rows.append([
-                            si, t_us, x[j], y[j], w[j], h[j], cls[j], conf[j]
-                        ])
-            return np.asarray(rows, np.float64).reshape(-1, 8)
+                    blocks.append(np.column_stack([
+                        np.full(len(x), si, np.float64),
+                        np.full(len(x), t_us, np.float64),
+                        x, y, w, h, cls, conf,
+                    ]))
+            if not blocks:
+                return np.zeros((0, 8), np.float64)
+            return np.concatenate(blocks, axis=0).astype(np.float64)
 
         gt_rows = _allgather_rows(flatten(per_stream_gt, False))
         dt_rows = _allgather_rows(flatten(per_stream_dt, True))
