@@ -10,7 +10,16 @@ from __future__ import annotations
 
 from typing import Any, Dict, Optional, Tuple
 
-__all__ = ["MODEL_SPECS", "create_model", "load_weights"]
+__all__ = ["MODEL_SPECS", "ZOO_CKPTS", "create_model", "load_weights"]
+
+# Zoo checkpoint artifacts, resolvable by zoo name (reference
+# yolox/models/build.py:36-47 downloads by name from GitHub; no egress
+# here, so the artifact is a reference-initialized .pth checked into the
+# repo — see tools/make_reference_ckpt.py). Paths are relative to the
+# repository root.
+ZOO_CKPTS: Dict[str, str] = {
+    "syolox-s-gen1": "checkpoints/syolox_s_gen1_init.pth",
+}
 
 # name -> (depth, width, kwargs)
 MODEL_SPECS: Dict[str, Tuple[float, float, Dict[str, Any]]] = {
@@ -63,8 +72,17 @@ def create_model(name: str, num_classes: Optional[int] = None, **overrides):
 
 def load_weights(variables, ckpt_path: str):
     """Load weights from a local checkpoint into ``variables``:
-    ``.pth`` goes through the torch importer, anything else is treated as
-    an Orbax tree (shape-checked partial load)."""
+    a zoo name resolves via ``ZOO_CKPTS``, ``.pth`` goes through the torch
+    importer, anything else is treated as an Orbax tree (shape-checked
+    partial load)."""
+    key = ckpt_path.lower().replace("_", "-")
+    if key in ZOO_CKPTS:
+        import os
+
+        repo_root = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        ckpt_path = os.path.join(repo_root, ZOO_CKPTS[key])
     if ckpt_path.endswith((".pth", ".pt")):
         from ..utils.torch_import import (
             load_torch_state_dict,

@@ -24,41 +24,58 @@ class CSPDarknet(nn.Module):
     act: str = "silu"
     neuron: NeuronCfg = NeuronCfg.ann()
     dtype: object = jnp.float32
+    # block-granular rematerialization: wrap every stage conv / CSP layer in
+    # nn.remat so the backward pass holds at most ONE block's internal
+    # activations at a time (whole-module remat saves almost nothing — the
+    # recompute re-materializes everything at once; measured 13.89 -> 13.59
+    # GB at B=64, vs block remat which is what lets B=128 train fit HBM)
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> Dict[str, jnp.ndarray]:
         base_ch = int(self.wid_mul * 64)
         base_depth = max(round(self.dep_mul * 3), 1)
         Conv = DWConv if self.depthwise else BaseConv
+        CSPLayer_, SPPBottleneck_, Focus_ = CSPLayer, SPPBottleneck, Focus
+        if self.remat:
+            Conv = nn.remat(Conv, static_argnums=(2,))
+            CSPLayer_ = nn.remat(CSPLayer, static_argnums=(2,))
+            SPPBottleneck_ = nn.remat(SPPBottleneck, static_argnums=(2,))
+            Focus_ = nn.remat(Focus, static_argnums=(2,))
         kw = dict(act=self.act, neuron=self.neuron, dtype=self.dtype)
 
         outputs = {}
-        x = Focus(base_ch, ksize=3, name="stem", **kw)(x, train)
+        # The reference's convert_to_spiking wraps the Focus stem WHOLE in a
+        # SeqToANNContainer without recursing into it (utils_snn.py:22-24),
+        # so the stem's activation stays analog SiLU even in spiking mode —
+        # only dark2..dark5 get PLIF neurons. Mirror that: stem is always ANN.
+        stem_kw = dict(kw, neuron=NeuronCfg.ann())
+        x = Focus_(base_ch, ksize=3, name="stem", **stem_kw)(x, train)
         outputs["stem"] = x
 
         x = Conv(base_ch * 2, 3, 2, name="dark2_conv", **kw)(x, train)
-        x = CSPLayer(
+        x = CSPLayer_(
             base_ch * 2, n=base_depth, depthwise=self.depthwise, name="dark2_csp", **kw
         )(x, train)
         outputs["dark2"] = x
 
         x = Conv(base_ch * 4, 3, 2, name="dark3_conv", **kw)(x, train)
-        x = CSPLayer(
+        x = CSPLayer_(
             base_ch * 4, n=base_depth * 3, depthwise=self.depthwise,
             name="dark3_csp", **kw,
         )(x, train)
         outputs["dark3"] = x
 
         x = Conv(base_ch * 8, 3, 2, name="dark4_conv", **kw)(x, train)
-        x = CSPLayer(
+        x = CSPLayer_(
             base_ch * 8, n=base_depth * 3, depthwise=self.depthwise,
             name="dark4_csp", **kw,
         )(x, train)
         outputs["dark4"] = x
 
         x = Conv(base_ch * 16, 3, 2, name="dark5_conv", **kw)(x, train)
-        x = SPPBottleneck(base_ch * 16, name="dark5_spp", **kw)(x, train)
-        x = CSPLayer(
+        x = SPPBottleneck_(base_ch * 16, name="dark5_spp", **kw)(x, train)
+        x = CSPLayer_(
             base_ch * 16, n=base_depth, shortcut=False, depthwise=self.depthwise,
             name="dark5_csp", **kw,
         )(x, train)

@@ -273,6 +273,9 @@ class ARSNNEmbedding(nn.Module):
     # Pallas kernel (~13 vs ~49 ms device time for the Gen1-M embedding), so
     # the fused kernel stays opt-in until the whole-scan-resident redesign.
     use_pallas: str = "never"
+    # per-step jax.checkpoint inside the sampler scan (see ops/arsnn.py);
+    # forward-identical, backward recomputes step internals from carries
+    remat: bool = False
     # 'never' | 'auto': run the ENTIRE scan in 8x8 space-to-depth packed
     # layout (ops/pack.py) — C=2 stencils become full-lane 128->256-channel
     # 3x3 convs and every elementwise neuron-state op drops the ~64x
@@ -308,6 +311,7 @@ class ARSNNEmbedding(nn.Module):
                 self, "gate_conv_agg", C, 2 * C, self.ksize, 1, _ORTHO,
             )
         kw = dict(
+            remat=self.remat,
             Ts=self.Ts,
             thresh=self.thresh,
             vreset=self.vreset,
@@ -346,14 +350,16 @@ class ARSNNEmbedding(nn.Module):
             if ok:
                 kw2 = dict(kw)
                 kw2.pop("spike_fn")  # forward-only kernel: exact Heaviside
+                kw2.pop("remat")  # scan-only knob
                 return arsnn_fused_v2(
                     ev, input_conv.weights, gate_conv.weights,
                     interpret=jax.default_backend() != "tpu",
                     **kw2,
                 ).astype(in_dtype)
             if self.use_pallas == "always":
+                kw3 = {k: v for k, v in kw.items() if k != "remat"}
                 return arsnn_scan_fused(
-                    ev, input_conv, gate_conv, **kw
+                    ev, input_conv, gate_conv, **kw3
                 ).astype(in_dtype)
         out = arsnn_scan(ev, input_conv, gate_conv, record=record, **kw)
         if record:
@@ -381,6 +387,7 @@ def build_embedding(
     use_pallas: str = "never",
     packed: str = "never",
     state_dtype: Optional[str] = None,
+    remat: bool = False,
 ) -> nn.Module:
     """Embedding factory mirroring the reference's embedding_dict
     (reference: yolox/exp/event_yolox_base.py:166-177). The embedding's spike
@@ -406,7 +413,7 @@ def build_embedding(
             spike_attach=spike_attach, write_zero=write_zero, use_abs=use_abs,
             split=split, thresh=thresh, vreset=vreset, spike_fn=spike_fn,
             alpha=alpha, dtype=dtype, use_pallas=use_pallas, packed=packed,
-            state_dtype=state_dtype,
+            state_dtype=state_dtype, remat=remat,
             name="embedding",
         )
     raise KeyError(f"unknown embedding '{name}'")

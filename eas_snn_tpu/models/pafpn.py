@@ -36,6 +36,9 @@ class YOLOPAFPN(nn.Module):
     act: str = "silu"
     backbone_neuron: NeuronCfg = NeuronCfg.ann()
     neck_neuron: NeuronCfg = NeuronCfg.ann()
+    # block-granular remat: forwarded to CSPDarknet and applied to every
+    # neck conv/CSP block (see darknet.py — whole-module remat is useless)
+    remat: bool = False
     dtype: object = jnp.float32
 
     @nn.compact
@@ -48,6 +51,7 @@ class YOLOPAFPN(nn.Module):
             act=self.act,
             neuron=self.backbone_neuron,
             dtype=self.dtype,
+            remat=self.remat,
             name="backbone",
         )(x, train)
         features = [feats[f] for f in self.in_features]
@@ -60,25 +64,30 @@ class YOLOPAFPN(nn.Module):
         c0, c1, c2 = (int(c * w) for c in self.in_channels)
         n = round(3 * self.depth)
         Conv = DWConv if self.depthwise else BaseConv
+        BaseConv_, CSPLayer_ = BaseConv, CSPLayer
+        if self.remat:
+            Conv = nn.remat(Conv, static_argnums=(2,))
+            BaseConv_ = nn.remat(BaseConv, static_argnums=(2,))
+            CSPLayer_ = nn.remat(CSPLayer, static_argnums=(2,))
         kw = dict(act=self.act, neuron=self.neck_neuron, dtype=self.dtype)
         csp_kw = dict(shortcut=False, depthwise=self.depthwise, **kw)
 
-        fpn_out0 = BaseConv(c1, 1, 1, name="lateral_conv0", **kw)(x0, train)
+        fpn_out0 = BaseConv_(c1, 1, 1, name="lateral_conv0", **kw)(x0, train)
         f_out0 = upsample2x(fpn_out0)
         f_out0 = jnp.concatenate([f_out0, x1], axis=-1)
-        f_out0 = CSPLayer(c1, n=n, name="C3_p4", **csp_kw)(f_out0, train)
+        f_out0 = CSPLayer_(c1, n=n, name="C3_p4", **csp_kw)(f_out0, train)
 
-        fpn_out1 = BaseConv(c0, 1, 1, name="reduce_conv1", **kw)(f_out0, train)
+        fpn_out1 = BaseConv_(c0, 1, 1, name="reduce_conv1", **kw)(f_out0, train)
         f_out1 = upsample2x(fpn_out1)
         f_out1 = jnp.concatenate([f_out1, x2], axis=-1)
-        pan_out2 = CSPLayer(c0, n=n, name="C3_p3", **csp_kw)(f_out1, train)
+        pan_out2 = CSPLayer_(c0, n=n, name="C3_p3", **csp_kw)(f_out1, train)
 
         p_out1 = Conv(c0, 3, 2, name="bu_conv2", **kw)(pan_out2, train)
         p_out1 = jnp.concatenate([p_out1, fpn_out1], axis=-1)
-        pan_out1 = CSPLayer(c1, n=n, name="C3_n3", **csp_kw)(p_out1, train)
+        pan_out1 = CSPLayer_(c1, n=n, name="C3_n3", **csp_kw)(p_out1, train)
 
         p_out0 = Conv(c1, 3, 2, name="bu_conv1", **kw)(pan_out1, train)
         p_out0 = jnp.concatenate([p_out0, fpn_out0], axis=-1)
-        pan_out0 = CSPLayer(c2, n=n, name="C3_n4", **csp_kw)(p_out0, train)
+        pan_out0 = CSPLayer_(c2, n=n, name="C3_n4", **csp_kw)(p_out0, train)
 
         return (pan_out2, pan_out1, pan_out0)

@@ -61,8 +61,11 @@ class EASYOLOX(nn.Module):
     # 'float32' | 'bfloat16' — conv/BN compute dtype for the backbone, neck
     # and head (params and losses stay float32; bf16 feeds the MXU at 2x)
     compute_dtype: str = "float32"
-    # rematerialize the backbone+neck in the backward pass (activation
-    # memory ~ O(1) in T instead of O(T) for spiking backbones)
+    # block-granular rematerialization: every backbone/neck conv + CSP
+    # block recomputes its internal activations in the backward pass, so
+    # peak activation memory holds one block at a time plus block-boundary
+    # features (whole-module remat measured useless: 13.89 -> 13.59 GB at
+    # B=64; block remat is what lets flagship B>=128 train steps fit HBM)
     remat: bool = False
     # 'never' | 'auto' | 'always' — route the ARSNN embedding's eval
     # forward through the whole-scan-resident Pallas kernel
@@ -114,16 +117,13 @@ class EASYOLOX(nn.Module):
             use_pallas=self.use_pallas,
             packed=self.packed_embedding,
             state_dtype=self.embedding_state_dtype,
+            remat=self.remat,
         )
         import jax.numpy as jnp_
 
         dt = jnp_.bfloat16 if self.compute_dtype == "bfloat16" else jnp_.float32
-        # static_argnums: (self, x, train) -> keep the train flag static
-        backbone_cls = (
-            nn.remat(YOLOPAFPN, static_argnums=(2,)) if self.remat
-            else YOLOPAFPN
-        )
-        self.backbone = backbone_cls(
+        self.backbone = YOLOPAFPN(
+            remat=self.remat,
             depth=self.depth,
             width=self.width,
             depthwise=self.depthwise,
@@ -173,7 +173,7 @@ class EASYOLOX(nn.Module):
                 x = x[0]  # keep first slice (reference yolox.py:39-40)
         else:
             x = self._temporalize(x)
-        fpn_outs = self.backbone(x, train)  # positional: remat static_argnums
+        fpn_outs = self.backbone(x, train)
         head_out: HeadOutput = self.head(fpn_outs, train=train)
 
         if targets is not None and train:

@@ -94,6 +94,11 @@ def _map_name(name: str) -> Tuple[Tuple[str, ...], str]:
         kind = "kernel"
     elif leaf == "bias":
         kind = "bias"
+    elif leaf == "w" and body and body[-1] == "act":
+        # spiking-converted act: ParametricLIFNode scalar decay logit
+        # (utils_snn.py:44-53) -> our PLIF module's 'w' param (blocks.py).
+        kind = "plif_w"
+        body = body[:-1] + ["PLIF_0"]
     else:
         return (), "skip"
 
@@ -101,6 +106,16 @@ def _map_name(name: str) -> Tuple[Tuple[str, ...], str]:
     i = 0
     while i < len(body):
         p = body[i]
+        # convert_to_spiking container indices (utils_snn.py:22-27): the
+        # Focus stem is wrapped whole ('stem.0.conv...') and every Conv2d
+        # attribute gains a SeqToANNContainer '0' child ('conv.0.weight').
+        if p == "stem" and i + 1 < len(body) and body[i + 1] == "0":
+            out.append("stem")
+            i += 2
+            continue
+        if p == "0" and out and out[-1] == "conv":
+            i += 1
+            continue
         if p in ("dark2", "dark3", "dark4", "dark5") and i + 1 < len(body):
             out.append(_DARK_SEQ.get((p, body[i + 1]), f"{p}_{body[i+1]}"))
             i += 2
@@ -200,7 +215,9 @@ def translate_torch_checkpoint(
             report["mapped" if ok else "shape_miss"] += 1
             continue
 
-        if kind == "kernel":
+        if kind == "plif_w":
+            ok = _set_leaf(params, path + ("w",), value)
+        elif kind == "kernel":
             v = (
                 value.transpose(2, 3, 1, 0) if value.ndim == 4 else value.T
             )

@@ -43,6 +43,11 @@ def ref_on_path():
 
         class _Any(types.ModuleType):
             def __getattr__(self, k):
+                if k.startswith("__"):
+                    # never fabricate dunders: a class named '__file__'
+                    # poisons inspect/torch introspection for every later
+                    # test in the process
+                    raise AttributeError(k)
                 return type(k, (), {"__init__": lambda self, *a, **kw: None})
 
         for name in ("neuron", "functional", "layer", "surrogate"):

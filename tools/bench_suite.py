@@ -42,13 +42,14 @@ TM = 4
 H, W = 256, 320  # Gen1 240x304 letterboxed to /32 multiples
 
 
-def _model(compute_dtype="bfloat16"):
+def _model(compute_dtype="bfloat16", remat=False):
     from __graft_entry__ import _build_model
 
-    return _build_model(
+    m = _build_model(
         depth=0.67, width=0.75, T=T, Ts=TS, Tm=TM,
         compute_dtype=compute_dtype,
     )
+    return m.clone(remat=True) if remat else m
 
 
 def _conv_flops_per_frame(model, variables, sample) -> float:
@@ -90,14 +91,14 @@ def bench_fwd(B):
     }
 
 
-def bench_train(B):
+def bench_train(B, remat=False):
     import jax
     import jax.numpy as jnp
     import optax
 
     from eas_snn_tpu.core.train_state import create_train_state, train_step
 
-    model = _model()
+    model = _model(remat=remat)
     batches = _batches(B)
     rng = jax.random.PRNGKey(0)
     labels = jnp.tile(
@@ -133,6 +134,15 @@ def bench_train(B):
 
         return jax.lax.scan(body, state, es)
 
+    # Measured fwd+bwd FLOPs from the compiled step (replaces the 3x-fwd
+    # approximation): XLA's cost analysis over the whole K-step scan.
+    compiled = multi.lower(state, evK).compile()
+    ca = compiled.cost_analysis()
+    ca = ca[0] if isinstance(ca, list) else ca
+    measured_flops_frame = (
+        float(ca["flops"]) / (K * B) if ca and "flops" in ca else None
+    )
+
     state, losses = multi(state, evK)
     float(losses.sum())  # compile + run
     n_iters = 5
@@ -142,17 +152,25 @@ def bench_train(B):
         float(losses.sum())
     dt = (time.perf_counter() - t0) / (n_iters * K)
     fps = B / dt
-    # fwd + bwd ~ 3x fwd conv FLOPs (standard approximation)
+    # fwd + bwd ~ 3x fwd conv FLOPs (kept for cross-round comparability)
     mfu = 3.0 * flops_frame * fps / V5E_BF16_PEAK
-    return {
+    out = {
         "metric": "train_step",
         "frames_per_sec": round(fps, 2),
         "ms_per_step": round(dt * 1e3, 1),
         "conv_gflops_per_frame_fwd": round(flops_frame / 1e9, 2),
         "mfu_pct_3x_approx": round(100 * mfu, 2),
         "unit": f"SYOLOX-M Gen1 T=3 bf16 train step, batch {B}, "
-                f"{K}-step in-jit scan",
+                f"{K}-step in-jit scan" + (", remat" if remat else ""),
     }
+    if measured_flops_frame is not None:
+        out["measured_gflops_per_frame_fwd_bwd"] = round(
+            measured_flops_frame / 1e9, 2
+        )
+        out["mfu_pct_measured"] = round(
+            100 * measured_flops_frame * fps / V5E_BF16_PEAK, 2
+        )
+    return out
 
 
 def _synth_gen1_dir(root, n_streams=4, labels_per_stream=24, seed=7):
@@ -237,6 +255,7 @@ def main():
     p.add_argument("--mode", choices=["fwd", "train", "loader"], default="fwd")
     p.add_argument("--batch", type=int, default=None)
     p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--remat", action="store_true")
     args = p.parse_args()
 
     from eas_snn_tpu.utils.jax_cache import enable_compilation_cache
@@ -246,7 +265,7 @@ def main():
     if args.mode == "fwd":
         out = bench_fwd(args.batch or 128)
     elif args.mode == "train":
-        out = bench_train(args.batch or 32)
+        out = bench_train(args.batch or 32, remat=args.remat)
     else:
         out = bench_loader(args.batch or 64, workers=args.workers)
     print(json.dumps(out))

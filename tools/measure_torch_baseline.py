@@ -43,6 +43,8 @@ def _stub_modules():
 
         class _Any(types.ModuleType):
             def __getattr__(self, k):
+                if k.startswith("__"):
+                    raise AttributeError(k)  # don't fabricate dunders
                 return type(k, (), {"__init__": lambda s, *a, **kw: None})
 
         for n in ("neuron", "functional", "layer", "surrogate"):
