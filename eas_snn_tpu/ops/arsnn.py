@@ -72,6 +72,8 @@ def arsnn_scan(
     use_abs: bool = False,
     record: bool = False,
     unroll: int | bool = True,
+    remat: bool = False,
+    agg_mode: str = "carry",
 ):
     """Run the adaptive sampler over a time-major event stack.
 
@@ -91,6 +93,16 @@ def arsnn_scan(
         embedding.py:215-216).
       use_abs: ReLU the final aggregation (embedding.py:218-220).
       record: additionally return the per-step last-spike-time maps.
+      agg_mode: 'carry' (default) accumulates the (Ts, ...) aggregation
+        inside the scan carry; 'ys' instead emits each step's masked write
+        plane + target slot as scan outputs and materializes the
+        aggregation in one pass after the scan. Identical values and
+        gradients (the sum is just reordered). Measured on a v5e at
+        flagship geometry (B=128 bf16, Tm=4): 'ys' is SLIGHTLY SLOWER
+        (24.5 vs 23.1 ms) — the unrolled scan's in-carry accumulation is
+        already fully fused by XLA, while 'ys' materializes the (Tm, ...)
+        write/slot stacks to HBM and re-reads them. Negative result kept
+        as an option for future geometries with larger Ts.
 
     Returns:
       aggregation: (Ts, N, H, W, C); and if ``record`` a (Tm, N, H, W, C)
@@ -110,8 +122,13 @@ def arsnn_scan(
     # HBM carry traffic 4x with bit-identical results.
     idt = jnp.int8
 
+    agg_ys = agg_mode == "ys"
+
     def step(carry, xs):
-        vmem, spike_last, seg_ind, vmem_avg, t_last, agg = carry
+        if agg_ys:
+            vmem, spike_last, seg_ind, vmem_avg, t_last = carry
+        else:
+            vmem, spike_last, seg_ind, vmem_avg, t_last, agg = carry
         t, g_in, c_in = xs
         state = gate_conv_fn(spike_last)
         g_rec, c_rec = jnp.split(state, 2, axis=-1)
@@ -139,12 +156,18 @@ def arsnn_scan(
             v = v * spike  # re-attach surrogate spike gradient (SAT)
 
         write = jnp.where(valid, v, 0.0)
-        agg = agg + _onehot_seg(seg_ind, Ts) * write[None]
+        seg_pre = seg_ind
         seg_ind = seg_ind + valid.astype(seg_ind.dtype)
         t_last = jnp.where(valid, t, t_last)
         vmem_avg = jnp.where(spiked, 0.0, vmem_avg)
-        new_carry = (vmem, spike, seg_ind, vmem_avg, t_last, agg)
-        return new_carry, (t_last if record else None)
+        if agg_ys:
+            new_carry = (vmem, spike, seg_ind, vmem_avg, t_last)
+            ys = (write, seg_pre, t_last) if record else (write, seg_pre)
+        else:
+            agg = agg + _onehot_seg(seg_pre, Ts) * write[None]
+            new_carry = (vmem, spike, seg_ind, vmem_avg, t_last, agg)
+            ys = t_last if record else None
+        return new_carry, ys
 
     init = (
         zero,  # vmem
@@ -152,12 +175,35 @@ def arsnn_scan(
         jnp.zeros(state_shape, idt),  # seg_ind
         zero,  # vmem_avg
         jnp.full(state_shape, -1, idt),  # t_last
-        jnp.zeros((Ts,) + state_shape, f32),  # aggregation
     )
+    if not agg_ys:
+        init = init + (jnp.zeros((Ts,) + state_shape, f32),)  # aggregation
     ts = jnp.arange(Tm, dtype=idt)
-    (vmem, spike, seg_ind, vmem_avg, t_last, agg), t_rec = jax.lax.scan(
+    if remat:
+        # per-step rematerialization: the backward pass recomputes each
+        # step's internals from its (small) carry instead of storing every
+        # gate/current/surrogate plane for all Tm steps — cuts the scan's
+        # saved-residual memory ~4x at flagship geometry for ~one extra
+        # forward of the step in the backward
+        step = jax.checkpoint(step)
+    final, ys_out = jax.lax.scan(
         step, init, (ts, g_in_all, c_in_all), unroll=unroll
     )
+    if agg_ys:
+        vmem, spike, seg_ind, vmem_avg, t_last = final
+        if record:
+            writes, segs, t_rec = ys_out
+        else:
+            writes, segs = ys_out
+            t_rec = None
+        # One fused pass builds the aggregation: sum over the Tm step
+        # planes, each routed to its (pre-increment) slot. Identical to the
+        # in-carry accumulation (the sum is associative and the one-hot
+        # masks carry no gradient).
+        agg = jnp.sum(_onehot_seg(segs, Ts) * writes[None], axis=1)
+    else:
+        vmem, spike, seg_ind, vmem_avg, t_last, agg = final
+        t_rec = ys_out
 
     # Residual write for elements that never closed their last segment
     # (embedding.py:203-217).

@@ -178,6 +178,56 @@ class TestARSNN:
         expect = arsnn_oracle(events, w_in, w_gate, Ts, 1.0, vreset, readout, write_zero)
         np.testing.assert_allclose(np.asarray(agg), expect, rtol=1e-8, atol=1e-9)
 
+    @pytest.mark.parametrize("readout", ["sum", "last", "avg"])
+    def test_agg_ys_mode_matches_carry(self, rng, readout):
+        """agg_mode='ys' (post-scan aggregation assembly) must equal the
+        default in-carry accumulation exactly — values AND gradients (the
+        sum over steps is merely reordered; masks carry no gradient)."""
+        Tm, N, H, W, Cin, C, Ts = 6, 2, 4, 5, 2, 2, 3
+        events = rng.normal(size=(Tm, N, H, W, Cin)).astype(np.float32)
+        w_in = jnp.asarray(rng.normal(size=(Cin, 2 * C)).astype(np.float32))
+        w_gate = jnp.asarray(rng.normal(size=(C, 2 * C)).astype(np.float32))
+
+        def run(wi, wg, mode, sa=False, wz=False):
+            return arsnn_scan(
+                jnp.asarray(events), lambda x: x @ wi, lambda x: x @ wg,
+                Ts=Ts, thresh=0.8, vreset=None,
+                spike_fn=get_spike_fn("atan"), readout=readout,
+                spike_attach=sa, write_zero=wz, agg_mode=mode,
+            )
+
+        for sa in (False, True):
+            for wz in (False, True):
+                a = run(w_in, w_gate, "carry", sa, wz)
+                b = run(w_in, w_gate, "ys", sa, wz)
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+                ga = jax.grad(
+                    lambda wi, wg: (run(wi, wg, "carry", sa, wz) ** 2).sum(),
+                    argnums=(0, 1),
+                )(w_in, w_gate)
+                gb = jax.grad(
+                    lambda wi, wg: (run(wi, wg, "ys", sa, wz) ** 2).sum(),
+                    argnums=(0, 1),
+                )(w_in, w_gate)
+                for x, y in zip(ga, gb):
+                    np.testing.assert_allclose(
+                        np.asarray(x), np.asarray(y), rtol=1e-6, atol=1e-6
+                    )
+        # record mode parity
+        a, ra = run(w_in, w_gate, "carry")[0], None
+        (a2, ra2) = arsnn_scan(
+            jnp.asarray(events), lambda x: x @ w_in, lambda x: x @ w_gate,
+            Ts=Ts, thresh=0.8, vreset=None, spike_fn=get_spike_fn("atan"),
+            readout=readout, record=True, agg_mode="ys",
+        )
+        (a3, ra3) = arsnn_scan(
+            jnp.asarray(events), lambda x: x @ w_in, lambda x: x @ w_gate,
+            Ts=Ts, thresh=0.8, vreset=None, spike_fn=get_spike_fn("atan"),
+            readout=readout, record=True, agg_mode="carry",
+        )
+        np.testing.assert_array_equal(np.asarray(a2), np.asarray(a3))
+        np.testing.assert_array_equal(np.asarray(ra2), np.asarray(ra3))
+
     def test_spike_attach_forward_identity(self, rng):
         # forward spikes are exactly 1 at write positions -> values unchanged
         Tm, N, H, W, C, Ts = 5, 1, 2, 2, 2, 2

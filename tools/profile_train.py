@@ -1,0 +1,142 @@
+#!/usr/bin/env python3
+"""Sectional device-time profile of the flagship TRAIN step (SYOLOX-M Gen1).
+
+Where does the backward go? Three value_and_grad variants are timed with
+the same serialized-repeat trick as tools/profile_sections.py:
+
+  grad_full          — loss + grad through the whole model
+  grad_stop_emb      — stop_gradient after the ARSNN embedding: everything
+                       except the embedding backward (its forward is paid)
+  grad_stop_backbone — stop_gradient after the PAFPN: head+loss backward only
+  fwd_loss           — loss forward alone
+
+so  emb_bwd ≈ grad_full - grad_stop_emb,
+    bb_bwd  ≈ grad_stop_emb - grad_stop_backbone.
+
+Usage: python tools/profile_train.py --batch 32 [--remat] [--K 4]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from profile_sections import device_ms  # noqa: E402
+
+T = TS = 3
+TM = 4
+H, W = 256, 320
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--K", type=int, default=4)
+    p.add_argument("--remat", action="store_true")
+    p.add_argument(
+        "--sections", default="fwd_loss,grad_full,grad_stop_emb,grad_stop_backbone"
+    )
+    args = p.parse_args()
+    B = args.batch
+
+    from eas_snn_tpu.utils.jax_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _build_model
+    from eas_snn_tpu.models.simota import yolox_losses
+
+    model = _build_model(
+        depth=0.67, width=0.75, T=T, Ts=TS, Tm=TM, compute_dtype="bfloat16"
+    )
+    if args.remat:
+        model = model.clone(remat=True)
+
+    rng = jax.random.PRNGKey(0)
+    gen = jax.jit(
+        lambda k: jax.random.poisson(k, 0.2, (B, 1, TM, H, W, 2)).astype(
+            jnp.float32
+        )
+    )
+    events = gen(rng)
+    events.block_until_ready()
+    targets = jnp.tile(
+        jnp.asarray([[1.0, 120.0, 110.0, 60.0, 40.0]], jnp.float32)[None],
+        (B, 1, 1),
+    )
+    targets = jnp.concatenate(
+        [targets, jnp.zeros((B, 9, 5), jnp.float32)], axis=1
+    )
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        rng, events[:1], targets[:1], train=True
+    )
+    params, stats = variables["params"], variables.get("batch_stats", {})
+
+    def make_loss(stop_at: str):
+        """stop_at: '' | 'emb' | 'backbone'."""
+
+        def method(m, ev, tg, train):
+            x = m.emb(ev, train=train)
+            if stop_at == "emb":
+                x = jax.lax.stop_gradient(x)
+            x = m._temporalize(x)
+            fpn = m.backbone(x, train)
+            if stop_at == "backbone":
+                fpn = jax.lax.stop_gradient(fpn)
+            ho = m.head(fpn, train=train)
+            losses = yolox_losses(
+                ho.outputs, ho.origin_preds, tg, ho.grid_x, ho.grid_y,
+                ho.strides, m.num_classes, use_l1=False,
+            )
+            return losses.total_loss
+
+        def loss_fn(p):
+            out, _ = model.apply(
+                {"params": p, "batch_stats": stats}, events, targets,
+                train=True, mutable=["batch_stats"], method=method,
+            )
+            return out
+
+        return loss_fn
+
+    out = {"batch": B, "K": args.K, "remat": args.remat, "ms": {}}
+    secs = args.sections.split(",")
+
+    if "fwd_loss" in secs:
+        out["ms"]["fwd_loss"] = round(
+            device_ms(make_loss(""), params, args.K), 2
+        )
+    if "grad_full" in secs:
+        out["ms"]["grad_full"] = round(
+            device_ms(jax.grad(make_loss("")), params, args.K), 2
+        )
+    if "grad_stop_emb" in secs:
+        out["ms"]["grad_stop_emb"] = round(
+            device_ms(jax.grad(make_loss("emb")), params, args.K), 2
+        )
+    if "grad_stop_backbone" in secs:
+        out["ms"]["grad_stop_backbone"] = round(
+            device_ms(jax.grad(make_loss("backbone")), params, args.K), 2
+        )
+
+    ms = out["ms"]
+    if "grad_full" in ms and "grad_stop_emb" in ms:
+        out["derived_emb_bwd_ms"] = round(
+            ms["grad_full"] - ms["grad_stop_emb"], 2
+        )
+    if "grad_stop_emb" in ms and "grad_stop_backbone" in ms:
+        out["derived_backbone_bwd_ms"] = round(
+            ms["grad_stop_emb"] - ms["grad_stop_backbone"], 2
+        )
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
