@@ -37,9 +37,15 @@ def main():
     # tiles the MXU better); 96 gave no gain, so 128 is the sweet spot
     B, H, W = 128, 256, 320
     # deployment config: bf16 conv/BN compute (2.7x measured vs f32 on v5e);
-    # losses/decode stay f32 in the model
+    # losses/decode stay f32 in the model. bf16 sampler scan state mirrors
+    # the reference's own half-precision eval protocol (eval_event.py:66
+    # --fp16 -> model.half(), event_evaluator.py:141-144, which runs the
+    # WHOLE model incl. the recurrent sampler state in fp16) — and is
+    # strictly more conservative than it: membrane arithmetic in our
+    # kernels stays f32, only the stored carries are bf16.
     model = _build_model(
-        depth=0.67, width=0.75, T=T, Ts=Ts, Tm=Tm, compute_dtype="bfloat16"
+        depth=0.67, width=0.75, T=T, Ts=Ts, Tm=Tm, compute_dtype="bfloat16",
+        state_dtype="bfloat16",
     )
 
     from eas_snn_tpu.utils.benchmarks import device_batches, pipelined_fps

@@ -88,9 +88,14 @@ class PLIF(nn.Module):
     alpha: float = 2.0
     thresh: float = 1.0
     fuse: str = "auto"  # 'auto' (Pallas on TPU) | 'never' | 'interpret'
+    # eval-time spike storage: 'int8' stores the (exactly 0/1) spikes as
+    # int8 — bit-lossless, halves the HBM-bound backbone's spike traffic
+    # (kernel write + consuming conv read). Training always keeps the
+    # float storage (int8 primals carry no tangents).
+    eval_store: str = "int8"  # 'int8' | 'float'
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         w = self.param("w", lambda _: jnp.asarray(PLIF_W_INIT, jnp.float32))
         from ..ops.plif_pallas import plif_fused, plif_fused_supported
 
@@ -103,6 +108,7 @@ class PLIF(nn.Module):
             return plif_fused(
                 x, self.T, w, thresh=self.thresh, spike_fn=self.spike_fn,
                 alpha=self.alpha, interpret=self.fuse == "interpret",
+                out_int8=not train and self.eval_store == "int8",
             )
         fn = get_spike_fn(self.spike_fn, self.alpha)
         tb = x.shape[0]
@@ -116,7 +122,7 @@ class ANN(nn.Module):
     name_: str
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         return analog_act(self.name_, x)
 
 
@@ -183,7 +189,7 @@ class BaseConv(nn.Module):
             dtype=self.dtype,
             name="bn",
         )(x)
-        return make_act(self.neuron, self.act)(x)
+        return make_act(self.neuron, self.act)(x, train)
 
 
 class DWConv(nn.Module):

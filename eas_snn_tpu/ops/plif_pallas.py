@@ -77,11 +77,12 @@ def _spike_ge(kind: str) -> bool:
     return kind in ("atan", "sigmoid")
 
 
-def _row_tile(R: int) -> int:
-    """Largest divisor of R that is a multiple of 16 and <= _MAX_ROWS
-    (16 = bf16 min sublane tile; also valid for f32), or 0 if none."""
+def _row_tile(R: int, min_tile: int = 16) -> int:
+    """Largest divisor of R that is a multiple of ``min_tile`` and
+    <= _MAX_ROWS (16 = bf16 min sublane tile, 32 for int8 outputs; both
+    valid for f32), or 0 if none."""
     top = min(R, _MAX_ROWS)
-    for cand in range(top - (top % 16), 15, -16):
+    for cand in range(top - (top % min_tile), min_tile - 1, -min_tile):
         if R % cand == 0:
             return cand
     return 0
@@ -159,21 +160,19 @@ def _lanes_view(x4, T):
 
 @lru_cache(maxsize=None)
 def _make_plif_fused(
-    kind: str, alpha: float, thresh: float, T: int, interpret: bool
+    kind: str, alpha: float, thresh: float, T: int, interpret: bool,
+    out_int8: bool = False,
 ):
     ge = _spike_ge(kind)
-
-    @jax.custom_vjp
-    def fn(x2, a32):
-        return _fwd(x2, a32)
 
     def _fwd(x2, a32):
         R, TB = x2.shape
         B = TB // T
-        rt = _row_tile(R)
+        rt = _row_tile(R, 32 if out_int8 else 16)
+        out_dt = jnp.int8 if out_int8 else x2.dtype
         return pl.pallas_call(
             partial(_fwd_kernel, T=T, B=B, thresh=thresh, ge=ge),
-            out_shape=jax.ShapeDtypeStruct(x2.shape, x2.dtype),
+            out_shape=jax.ShapeDtypeStruct(x2.shape, out_dt),
             grid=(R // rt,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -182,6 +181,17 @@ def _make_plif_fused(
             out_specs=pl.BlockSpec((rt, TB), lambda i: (i, 0)),
             interpret=interpret,
         )(a32, x2)
+
+    if out_int8:
+        # Spikes are exactly 0/1, so int8 storage is bit-lossless and
+        # halves the kernel's write + the consuming conv's read traffic
+        # (the backbone is HBM-bound). int8 primal outputs carry no
+        # tangents, so this variant is eval-only — no custom_vjp.
+        return _fwd
+
+    @jax.custom_vjp
+    def fn(x2, a32):
+        return _fwd(x2, a32)
 
     def fwd_rule(x2, a32):
         return _fwd(x2, a32), (x2, a32)
@@ -228,15 +238,24 @@ def plif_fused(
     spike_fn: str = "atan",
     alpha: float = 2.0,
     interpret: bool = False,
+    out_int8: bool = False,
 ) -> jnp.ndarray:
     """Fused PLIF over a (T*B, H, W, C) folded sequence; returns spikes of
     the same shape. Drop-in for the reshape+``plif_scan`` path when
     ``plif_fused_supported(x_tb.shape, T, x_tb.dtype)``.
+
+    ``out_int8=True`` stores the (exactly 0/1) spikes as int8 — bit-
+    lossless, halves spike-tensor HBM traffic, but carries no gradient:
+    eval-only.
     """
     if spike_fn == "rect":
         alpha = 1.0  # the registry pins rect to alpha=1 (surrogate.py:170)
+    if out_int8 and _row_tile(
+        x_tb.shape[1] * x_tb.shape[2] * x_tb.shape[3], 32
+    ) == 0:
+        out_int8 = False  # no 32-row tile available: keep float storage
     fn = _make_plif_fused(
-        spike_fn, float(alpha), float(thresh), int(T), interpret
+        spike_fn, float(alpha), float(thresh), int(T), interpret, out_int8
     )
     # Decay multiplier computed OUTSIDE the kernel in f32 (the kernel's
     # membrane arithmetic is f32 regardless of storage dtype); the

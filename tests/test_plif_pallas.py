@@ -133,3 +133,35 @@ def test_plif_module_fused_path_equivalence():
     y_ref = m_ref.apply(v, x)
     y_fused = m_fused.apply(v, x)
     np.testing.assert_array_equal(np.asarray(y_fused), np.asarray(y_ref))
+
+
+def test_int8_eval_storage_bit_lossless():
+    """out_int8 stores the same 0/1 spike set as the float path (eval-only
+    storage optimization for the HBM-bound backbone)."""
+    for dtype in (jnp.float32, jnp.bfloat16):
+        x = _x(7, dtype)
+        w = jnp.asarray(-1.1, jnp.float32)
+        y_f = plif_fused(x, T, w, spike_fn="atan", interpret=True)
+        y_i = plif_fused(
+            x, T, w, spike_fn="atan", interpret=True, out_int8=True
+        )
+        assert y_i.dtype == jnp.int8
+        np.testing.assert_array_equal(
+            np.asarray(y_i, np.float32), np.asarray(y_f, np.float32)
+        )
+
+
+def test_plif_module_int8_gates_on_train():
+    """PLIF(eval_store='int8') emits int8 at eval, float in training."""
+    from eas_snn_tpu.models.blocks import PLIF
+
+    x = _x(9, jnp.float32)
+    m = PLIF(T=T, fuse="interpret")
+    v = m.init(jax.random.PRNGKey(0), x)
+    y_eval = m.apply(v, x)
+    y_train = m.apply(v, x, train=True)
+    assert y_eval.dtype == jnp.int8
+    assert y_train.dtype == x.dtype
+    np.testing.assert_array_equal(
+        np.asarray(y_eval, np.float32), np.asarray(y_train, np.float32)
+    )

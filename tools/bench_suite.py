@@ -195,7 +195,20 @@ def _synth_gen1_dir(root, n_streams=4, labels_per_stream=24, seed=7):
     return root
 
 
-def bench_loader(B, workers=8):
+def bench_loader(B, workers=8, device_binning=False, max_events=65536):
+    """End-to-end loader-in-the-loop throughput.
+
+    Two host->device transports for the same training stream (the
+    reference's loader materializes dense frames on host CPU,
+    reference gen1.py:84,330-360 — its known bottleneck):
+
+    * dense (default): host bins raw .dat events into (B, Tm, H, W, 2)
+      float32 frames (~167 MB/batch at B=64) and ships them.
+    * ``--device-binning``: host ships padded int event arrays
+      (b/x/y/p int16/32 + valid, ~20x smaller) and a single fused XLA
+      scatter (reps.bin_indexed_events_device) builds the frames on
+      device, back-to-back with the forward in one dispatch.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -206,6 +219,7 @@ def bench_loader(B, workers=8):
     ds = Gen1Dataset(
         root, input_size=(H, W), training=True, aggregation="micro_sum",
         num_slice=1, micro_slice=TM, window=(-200_000, 0),
+        raw_events=device_binning, max_events_per_slice=max_events,
     )
     loader = EventDataLoader(
         ds, batch_size=B, shuffle=True, infinite=True, num_workers=workers,
@@ -215,22 +229,54 @@ def bench_loader(B, workers=8):
     rng = jax.random.PRNGKey(0)
     it = iter(loader)
     frames, _, _, _ = next(it)
-    variables = jax.jit(model.init, static_argnames=("train",))(
-        rng, jnp.asarray(frames[:1]), train=False
-    )
 
-    @jax.jit
-    def fwd(events):
-        return model.apply(variables, events, train=False).sum()
+    if device_binning:
+        from functools import partial
 
-    fwd(jnp.asarray(frames))  # compile
+        from eas_snn_tpu.data.reps import bin_event_batch
+
+        binner = partial(bin_event_batch, n_bins=TM, height=H, width=W)
+
+        @jax.jit
+        def fwd(ev_arrays):
+            # (B, Tl, N) events -> (B, Tl, Tm, H, W, 2) flagship layout
+            dense = binner(*ev_arrays)
+            return model.apply(variables, dense, train=False).sum()
+
+        def to_dev(f):
+            return tuple(jnp.asarray(a) for a in f)
+
+        bytes_per_batch = sum(np.asarray(a).nbytes for a in frames)
+    else:
+
+        @jax.jit
+        def fwd(events):
+            return model.apply(variables, events, train=False).sum()
+
+        def to_dev(f):
+            return jnp.asarray(f)
+
+        bytes_per_batch = np.asarray(frames).nbytes
+
+    sample = to_dev(frames)
+    if device_binning:
+        dense1 = jax.jit(binner)(*(a[:1] for a in sample))
+        variables = jax.jit(model.init, static_argnames=("train",))(
+            rng, dense1, train=False
+        )
+    else:
+        variables = jax.jit(model.init, static_argnames=("train",))(
+            rng, sample[:1], train=False
+        )
+
+    fwd(sample)  # compile
 
     n_iters = 10
     prev = None
     t0 = time.perf_counter()
     for i in range(n_iters):
         frames, _, _, _ = next(it)
-        s = fwd(jnp.asarray(frames))
+        s = fwd(to_dev(frames))
         if prev is not None:
             float(prev)
         prev = s
@@ -240,9 +286,13 @@ def bench_loader(B, workers=8):
     return {
         "metric": "loader_in_the_loop",
         "frames_per_sec": round(fps, 2),
+        "device_binning": device_binning,
+        "mb_per_batch": round(bytes_per_batch / 1e6, 1),
         "unit": (
             f"SYOLOX-M Gen1 T=3 bf16 eval fwd, batch {B}, "
-            f"{workers} loader workers, raw .dat -> micro_sum on host"
+            f"{workers} loader workers, "
+            + ("raw events -> on-device scatter binning"
+               if device_binning else "raw .dat -> micro_sum on host")
         ),
         "dataset_profile": {
             k: round(v, 3) for k, v in ds.profile.items()
@@ -256,6 +306,7 @@ def main():
     p.add_argument("--batch", type=int, default=None)
     p.add_argument("--workers", type=int, default=8)
     p.add_argument("--remat", action="store_true")
+    p.add_argument("--device-binning", action="store_true")
     args = p.parse_args()
 
     from eas_snn_tpu.utils.jax_cache import enable_compilation_cache
@@ -267,7 +318,10 @@ def main():
     elif args.mode == "train":
         out = bench_train(args.batch or 32, remat=args.remat)
     else:
-        out = bench_loader(args.batch or 64, workers=args.workers)
+        out = bench_loader(
+            args.batch or 64, workers=args.workers,
+            device_binning=args.device_binning,
+        )
     print(json.dumps(out))
 
 
