@@ -88,11 +88,15 @@ class PLIF(nn.Module):
     alpha: float = 2.0
     thresh: float = 1.0
     fuse: str = "auto"  # 'auto' (Pallas on TPU) | 'never' | 'interpret'
-    # eval-time spike storage: 'int8' stores the (exactly 0/1) spikes as
-    # int8 — bit-lossless, halves the HBM-bound backbone's spike traffic
-    # (kernel write + consuming conv read). Training always keeps the
-    # float storage (int8 primals carry no tangents).
-    eval_store: str = "int8"  # 'int8' | 'float'
+    # Spike storage: spikes are exactly 0/1, so int8 storage is
+    # bit-lossless and halves the HBM-bound backbone's spike traffic.
+    # At eval the kernel returns int8 directly; in training it stores
+    # int8 but returns a float convert VIEW (XLA fuses the convert into
+    # the consuming conv and its wgrad — both read the int8 buffer)
+    # while the custom_vjp backward recomputes from the f32 preact, so
+    # gradients are unchanged.
+    eval_store: str = "int8"   # 'int8' | 'float'
+    train_store: str = "int8"  # 'int8' (convert view) | 'float'
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -105,10 +109,14 @@ class PLIF(nn.Module):
             and self.spike_fn in ("atan", "rect", "sigmoid", "tanh")
         )
         if use_fused and plif_fused_supported(x.shape, self.T, x.dtype):
+            if train:
+                store = "view" if self.train_store == "int8" else False
+            else:
+                store = "direct" if self.eval_store == "int8" else False
             return plif_fused(
                 x, self.T, w, thresh=self.thresh, spike_fn=self.spike_fn,
                 alpha=self.alpha, interpret=self.fuse == "interpret",
-                out_int8=not train and self.eval_store == "int8",
+                out_int8=store,
             )
         fn = get_spike_fn(self.spike_fn, self.alpha)
         tb = x.shape[0]

@@ -182,7 +182,7 @@ def _make_plif_fused(
             interpret=interpret,
         )(a32, x2)
 
-    if out_int8:
+    if out_int8 == "direct":
         # Spikes are exactly 0/1, so int8 storage is bit-lossless and
         # halves the kernel's write + the consuming conv's read traffic
         # (the backbone is HBM-bound). int8 primal outputs carry no
@@ -191,10 +191,15 @@ def _make_plif_fused(
 
     @jax.custom_vjp
     def fn(x2, a32):
+        if out_int8:  # 'view': int8 store, bf16 convert view (train path)
+            return _fwd(x2, a32).astype(x2.dtype)
         return _fwd(x2, a32)
 
     def fwd_rule(x2, a32):
-        return _fwd(x2, a32), (x2, a32)
+        out = _fwd(x2, a32)
+        if out_int8:  # 'view' mode: primal is the bf16 convert view
+            out = out.astype(x2.dtype)
+        return out, (x2, a32)
 
     def bwd_rule(res, g2):
         x2, a32 = res
@@ -238,16 +243,23 @@ def plif_fused(
     spike_fn: str = "atan",
     alpha: float = 2.0,
     interpret: bool = False,
-    out_int8: bool = False,
+    out_int8=False,
 ) -> jnp.ndarray:
     """Fused PLIF over a (T*B, H, W, C) folded sequence; returns spikes of
     the same shape. Drop-in for the reshape+``plif_scan`` path when
     ``plif_fused_supported(x_tb.shape, T, x_tb.dtype)``.
 
-    ``out_int8=True`` stores the (exactly 0/1) spikes as int8 — bit-
-    lossless, halves spike-tensor HBM traffic, but carries no gradient:
-    eval-only.
+    ``out_int8`` — spikes are exactly 0/1, so int8 storage is bit-lossless
+    and halves spike-tensor HBM traffic (the backbone is HBM-bound):
+      * ``'direct'`` (or True): the kernel RETURNS int8. No tangents —
+        eval-only.
+      * ``'view'``: the kernel stores int8 but returns a bf16/f32 convert
+        VIEW — XLA fuses the convert into each consumer (forward conv AND
+        its wgrad both read the int8 buffer), while the custom_vjp
+        backward still recomputes from the f32 preact: train-safe.
     """
+    if out_int8 is True:
+        out_int8 = "direct"
     if spike_fn == "rect":
         alpha = 1.0  # the registry pins rect to alpha=1 (surrogate.py:170)
     if out_int8 and _row_tile(

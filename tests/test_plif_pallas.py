@@ -165,3 +165,32 @@ def test_plif_module_int8_gates_on_train():
     np.testing.assert_array_equal(
         np.asarray(y_eval, np.float32), np.asarray(y_train, np.float32)
     )
+
+
+def test_int8_view_train_storage_value_and_grad():
+    """'view' mode (int8 store, float convert view) is bit-identical in
+    value AND gradient to the plain float path — the train-side spike
+    traffic halving."""
+    x = _x(11, jnp.float32)
+    w = jnp.asarray(-1.1, jnp.float32)
+    g = jnp.asarray(
+        np.random.default_rng(3).normal(size=x.shape), jnp.float32
+    )
+
+    def loss(mode):
+        def f(xx, ww):
+            s = plif_fused(
+                xx, T, ww, spike_fn="atan", interpret=True, out_int8=mode
+            )
+            return (s * g).sum()
+        return f
+
+    y_f = plif_fused(x, T, w, spike_fn="atan", interpret=True)
+    y_v = plif_fused(x, T, w, spike_fn="atan", interpret=True,
+                     out_int8="view")
+    assert y_v.dtype == x.dtype
+    np.testing.assert_array_equal(np.asarray(y_v), np.asarray(y_f))
+    (dx_f, dw_f) = jax.grad(loss(False), argnums=(0, 1))(x, w)
+    (dx_v, dw_v) = jax.grad(loss("view"), argnums=(0, 1))(x, w)
+    np.testing.assert_array_equal(np.asarray(dx_v), np.asarray(dx_f))
+    np.testing.assert_array_equal(np.asarray(dw_v), np.asarray(dw_f))

@@ -135,12 +135,17 @@ def bench_train(B, remat=False):
         return jax.lax.scan(body, state, es)
 
     # Measured fwd+bwd FLOPs from the compiled step (replaces the 3x-fwd
-    # approximation): XLA's cost analysis over the whole K-step scan.
-    compiled = multi.lower(state, evK).compile()
-    ca = compiled.cost_analysis()
+    # approximation). Analyze ONE train_step, not the K-step scan: XLA's
+    # cost analysis counts a while-loop body once regardless of trip
+    # count, so the scan version under-reports by ~K.
+    single = jax.jit(
+        lambda s, e: train_step(s, e, labels, use_l1=False,
+                                ema_decay=0.9998)[1]["total_loss"]
+    )
+    ca = single.lower(state, batches[0]).compile().cost_analysis()
     ca = ca[0] if isinstance(ca, list) else ca
     measured_flops_frame = (
-        float(ca["flops"]) / (K * B) if ca and "flops" in ca else None
+        float(ca["flops"]) / B if ca and "flops" in ca else None
     )
 
     state, losses = multi(state, evK)
