@@ -99,7 +99,8 @@ class PLIF(nn.Module):
     train_store: str = "int8"  # 'int8' (convert view) | 'float'
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 affine=None) -> jnp.ndarray:
         w = self.param("w", lambda _: jnp.asarray(PLIF_W_INIT, jnp.float32))
         from ..ops.plif_pallas import plif_fused, plif_fused_supported
 
@@ -116,8 +117,13 @@ class PLIF(nn.Module):
             return plif_fused(
                 x, self.T, w, thresh=self.thresh, spike_fn=self.spike_fn,
                 alpha=self.alpha, interpret=self.fuse == "interpret",
-                out_int8=store,
+                out_int8=store, affine=affine,
             )
+        if affine is not None:
+            # fallback: apply the BN normalize here, exactly as the
+            # unfused path would (f32 expression, storage-dtype round)
+            mean, mul, bias = affine
+            x = ((x - mean) * mul + bias).astype(x.dtype)
         fn = get_spike_fn(self.spike_fn, self.alpha)
         tb = x.shape[0]
         b = tb // self.T
@@ -132,6 +138,59 @@ class ANN(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         return analog_act(self.name_, x)
+
+
+class BatchNormFusable(nn.Module):
+    """Drop-in replica of ``flax.linen.BatchNorm`` (channel-last subset:
+    axis=-1, use_scale/use_bias, force_float32_reductions) that can hand
+    out the per-channel (mean, mul, bias) triple instead of normalizing,
+    so the train-mode normalize can run INSIDE the fused PLIF kernel
+    (ops/plif_pallas.py:_fwd_kernel_aff) and the separate BN elementwise
+    pass — one full-tensor read + write per spiking conv site — drops out
+    of the HBM-bound train forward/backward.
+
+    Variable names/shapes/order and arithmetic (f32 fast-variance stats,
+    ``(x - mean) * rsqrt(var+eps) * scale + bias`` expression order, final
+    cast) mirror flax's ``_compute_stats``/``_normalize`` exactly, so
+    checkpoints and the torch importer see an identical tree and the
+    normalize mode is bit-identical to ``nn.BatchNorm``.
+    """
+
+    momentum: float = 0.97
+    epsilon: float = 1e-3
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, x, train: bool, mode: str = "normalize"):
+        f32 = jnp.float32
+        C = x.shape[-1]
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((C,), f32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((C,), f32)
+        )
+        if train:
+            cdt = jnp.promote_types(self.dtype or x.dtype, f32)
+            xf = x.astype(cdt)
+            axes = tuple(range(x.ndim - 1))
+            mean = xf.mean(axes)
+            mean2 = (xf * xf).mean(axes)
+            var = jnp.maximum(0.0, mean2 - mean * mean)
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        scale = self.param("scale", nn.initializers.ones, (C,), f32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), f32)
+        mul = jax.lax.rsqrt(var + self.epsilon) * scale
+        if mode == "affine":
+            return mean, mul, bias
+        y = (x - mean) * mul + bias
+        out_dt = self.dtype or jnp.result_type(x, scale, bias)
+        return y.astype(out_dt)
 
 
 def make_act(neuron: NeuronCfg, act: str) -> nn.Module:
@@ -190,14 +249,17 @@ class BaseConv(nn.Module):
             dtype=self.dtype,
             name="conv",
         )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.97,
-            epsilon=1e-3,
-            dtype=self.dtype,
-            name="bn",
-        )(x)
-        return make_act(self.neuron, self.act)(x, train)
+        bn = BatchNormFusable(
+            momentum=0.97, epsilon=1e-3, dtype=self.dtype, name="bn"
+        )
+        act = make_act(self.neuron, self.act)
+        if self.neuron.spiking and train:
+            # train-mode BN normalize fused into the PLIF kernel: the
+            # separate elementwise pass (full-tensor read+write) drops
+            # out of the HBM-bound spiking-site chain. Values bitwise
+            # equal to the unfused path (see BatchNormFusable docstring).
+            return act(x, train, affine=bn(x, train, mode="affine"))
+        return act(bn(x, train), train)
 
 
 class DWConv(nn.Module):

@@ -158,6 +158,80 @@ def _lanes_view(x4, T):
     return x4.transpose(1, 2, 3, 0).reshape(H * W * C, TB)
 
 
+def _fwd_kernel_aff(
+    a_ref, x_ref, m_ref, s_ref, b_ref, o_ref, *, T, B, thresh, ge, rdt
+):
+    """Forward with the train-mode BatchNorm affine fused in: per row
+    (channel-minor) y = (x - mean) * mul + bias — the exact flax
+    ``_normalize`` expression order — rounded to the storage dtype (the
+    unfused path materializes the BN output in that dtype) before the f32
+    membrane update. Removes the separate BN normalize pass (one full
+    tensor read + write per spiking conv site)."""
+    a = a_ref[0]
+    m = m_ref[...].astype(jnp.float32)
+    s = s_ref[...].astype(jnp.float32)
+    b = b_ref[...].astype(jnp.float32)
+    v = jnp.zeros((x_ref.shape[0], B), jnp.float32)
+    for t in range(T):
+        xa = (x_ref[:, t * B:(t + 1) * B].astype(jnp.float32) - m) * s + b
+        xa = xa.astype(rdt).astype(jnp.float32)
+        v = v * a + xa
+        d = v - thresh
+        sp = (d >= 0 if ge else d > 0)
+        o_ref[:, t * B:(t + 1) * B] = sp.astype(o_ref.dtype)
+        v = v - thresh * sp.astype(jnp.float32)
+
+
+def _bwd_kernel_aff(
+    a_ref, x_ref, m_ref, s_ref, b_ref, g_ref,
+    dx_ref, da_ref, dm_ref, ds_ref, db_ref, acc_ref,
+    *, T, B, thresh, kind, alpha, ge, rdt,
+):
+    a32 = a_ref[0]
+    m = m_ref[...].astype(jnp.float32)
+    s = s_ref[...].astype(jnp.float32)
+    b = b_ref[...].astype(jnp.float32)
+    v = jnp.zeros((x_ref.shape[0], B), jnp.float32)
+    v_pre, v_after_prev = [], [jnp.zeros((x_ref.shape[0], B), jnp.float32)]
+    xms = []
+    for t in range(T):
+        x32 = x_ref[:, t * B:(t + 1) * B].astype(jnp.float32)
+        xm = x32 - m
+        xms.append(xm)
+        xa = (xm * s + b).astype(rdt).astype(jnp.float32)
+        v = v * a32 + xa
+        v_pre.append(v)
+        d = v - thresh
+        sp = (d >= 0 if ge else d > 0).astype(jnp.float32)
+        v = v - thresh * sp
+        v_after_prev.append(v)
+
+    g_after = jnp.zeros((x_ref.shape[0], B), jnp.float32)
+    da = jnp.float32(0.0)
+    ds = jnp.zeros((x_ref.shape[0], 1), jnp.float32)
+    db = jnp.zeros((x_ref.shape[0], 1), jnp.float32)
+    for t in range(T - 1, -1, -1):
+        fp = _surrogate_deriv(kind, alpha, v_pre[t] - thresh)
+        g32 = g_ref[:, t * B:(t + 1) * B].astype(jnp.float32)
+        g_pre = g_after + (g32 - thresh * g_after) * fp
+        dx_ref[:, t * B:(t + 1) * B] = (g_pre * s).astype(dx_ref.dtype)
+        ds += jnp.sum(g_pre * xms[t], axis=1, keepdims=True)
+        db += jnp.sum(g_pre, axis=1, keepdims=True)
+        da = da + jnp.sum(g_pre * v_after_prev[t])
+        g_after = g_pre * a32
+
+    ds_ref[...] = ds
+    db_ref[...] = db
+    dm_ref[...] = -(s * db)  # y=(x-m)*s+b -> dL/dm = -mul * sum(g_pre)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        acc_ref[0] = jnp.float32(0.0)
+
+    acc_ref[0] += da
+    da_ref[0] = acc_ref[0]
+
+
 @lru_cache(maxsize=None)
 def _make_plif_fused(
     kind: str, alpha: float, thresh: float, T: int, interpret: bool,
@@ -234,6 +308,89 @@ def _make_plif_fused(
     return fn
 
 
+@lru_cache(maxsize=None)
+def _make_plif_fused_aff(
+    kind: str, alpha: float, thresh: float, T: int, interpret: bool,
+    out_int8: bool, rdt_name: str,
+):
+    """Affine-fused variant: the train-mode BN normalize runs inside the
+    kernel (see _fwd_kernel_aff). Inputs (x2, a32, m_r, s_r, b_r) with
+    m/s/b as (R, 1) per-row (= per-channel, rows are channel-minor)
+    vectors; all five differentiable."""
+    ge = _spike_ge(kind)
+    rdt = jnp.dtype(rdt_name)
+
+    def _fwd(x2, a32, m_r, s_r, b_r):
+        R, TB = x2.shape
+        B = TB // T
+        rt = _row_tile(R, 32 if out_int8 else 16)
+        out_dt = jnp.int8 if out_int8 else x2.dtype
+        vec = pl.BlockSpec((rt, 1), lambda i: (i, 0))
+        return pl.pallas_call(
+            partial(_fwd_kernel_aff, T=T, B=B, thresh=thresh, ge=ge,
+                    rdt=rdt),
+            out_shape=jax.ShapeDtypeStruct(x2.shape, out_dt),
+            grid=(R // rt,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((rt, TB), lambda i: (i, 0)),
+                vec, vec, vec,
+            ],
+            out_specs=pl.BlockSpec((rt, TB), lambda i: (i, 0)),
+            interpret=interpret,
+        )(a32, x2, m_r, s_r, b_r)
+
+    @jax.custom_vjp
+    def fn(x2, a32, m_r, s_r, b_r):
+        out = _fwd(x2, a32, m_r, s_r, b_r)
+        return out.astype(x2.dtype) if out_int8 else out
+
+    def fwd_rule(x2, a32, m_r, s_r, b_r):
+        out = _fwd(x2, a32, m_r, s_r, b_r)
+        if out_int8:
+            out = out.astype(x2.dtype)
+        return out, (x2, a32, m_r, s_r, b_r)
+
+    def bwd_rule(res, g2):
+        x2, a32, m_r, s_r, b_r = res
+        R, TB = x2.shape
+        B = TB // T
+        rt = _row_tile(R, 32 if out_int8 else 16)
+        vec = pl.BlockSpec((rt, 1), lambda i: (i, 0))
+        f32 = jnp.float32
+        dx2, da, dm, ds, db = pl.pallas_call(
+            partial(
+                _bwd_kernel_aff, T=T, B=B, thresh=thresh, kind=kind,
+                alpha=alpha, ge=ge, rdt=rdt,
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct(x2.shape, x2.dtype),
+                jax.ShapeDtypeStruct((1,), f32),
+                jax.ShapeDtypeStruct((R, 1), f32),
+                jax.ShapeDtypeStruct((R, 1), f32),
+                jax.ShapeDtypeStruct((R, 1), f32),
+            ),
+            grid=(R // rt,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((rt, TB), lambda i: (i, 0)),
+                vec, vec, vec,
+                pl.BlockSpec((rt, TB), lambda i: (i, 0)),
+            ],
+            out_specs=(
+                pl.BlockSpec((rt, TB), lambda i: (i, 0)),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                vec, vec, vec,
+            ),
+            scratch_shapes=[pltpu.SMEM((1,), f32)],
+            interpret=interpret,
+        )(a32, x2, m_r, s_r, b_r, g2)
+        return dx2, da, dm, ds, db
+
+    fn.defvjp(fwd_rule, bwd_rule)
+    return fn
+
+
 def plif_fused(
     x_tb: jnp.ndarray,
     T: int,
@@ -244,10 +401,17 @@ def plif_fused(
     alpha: float = 2.0,
     interpret: bool = False,
     out_int8=False,
+    affine=None,
 ) -> jnp.ndarray:
     """Fused PLIF over a (T*B, H, W, C) folded sequence; returns spikes of
     the same shape. Drop-in for the reshape+``plif_scan`` path when
     ``plif_fused_supported(x_tb.shape, T, x_tb.dtype)``.
+
+    ``affine=(mean_c, mul_c, bias_c)`` (per-channel f32): fuse the
+    train-mode BatchNorm normalize ``(x - mean) * mul + bias`` into the
+    kernel (exact flax expression order + storage-dtype round, so values
+    match the unfused path bitwise). Gradients for all three flow out of
+    the custom_vjp and chain to gamma/beta/batch-stats outside.
 
     ``out_int8`` — spikes are exactly 0/1, so int8 storage is bit-lossless
     and halves spike-tensor HBM traffic (the backbone is HBM-bound):
@@ -266,15 +430,33 @@ def plif_fused(
         x_tb.shape[1] * x_tb.shape[2] * x_tb.shape[3], 32
     ) == 0:
         out_int8 = False  # no 32-row tile available: keep float storage
-    fn = _make_plif_fused(
-        spike_fn, float(alpha), float(thresh), int(T), interpret, out_int8
-    )
     # Decay multiplier computed OUTSIDE the kernel in f32 (the kernel's
     # membrane arithmetic is f32 regardless of storage dtype); the
     # w-gradient chains through this expression automatically (the kernel
     # returns d/da).
     a = 1.0 - jax.nn.sigmoid(w.astype(jnp.float32))
     x2 = _lanes_view(x_tb, T)
-    s2 = fn(x2, a.reshape(1))
     TB, H, W, C = x_tb.shape
+    if affine is not None:
+        mean_c, mul_c, bias_c = (v.astype(jnp.float32) for v in affine)
+        # rows are channel-minor: r = (h*W + w)*C + c, so tiling the
+        # per-channel vector H*W times lands value c at every row with
+        # r % C == c. jnp.tile is differentiable (cotangent sums over
+        # repeats), so dmean/dmul/dbias chain out automatically.
+        hw = H * W
+        m_r = jnp.tile(mean_c, hw).reshape(-1, 1)
+        s_r = jnp.tile(mul_c, hw).reshape(-1, 1)
+        b_r = jnp.tile(bias_c, hw).reshape(-1, 1)
+        fn = _make_plif_fused_aff(
+            spike_fn, float(alpha), float(thresh), int(T), interpret,
+            bool(out_int8) and out_int8 != "direct",
+            jnp.dtype(x_tb.dtype).name,
+        )
+        s2 = fn(x2, a.reshape(1), m_r, s_r, b_r)
+    else:
+        fn = _make_plif_fused(
+            spike_fn, float(alpha), float(thresh), int(T), interpret,
+            out_int8,
+        )
+        s2 = fn(x2, a.reshape(1))
     return s2.reshape(H, W, C, TB).transpose(3, 0, 1, 2)

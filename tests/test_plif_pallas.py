@@ -194,3 +194,127 @@ def test_int8_view_train_storage_value_and_grad():
     (dx_v, dw_v) = jax.grad(loss("view"), argnums=(0, 1))(x, w)
     np.testing.assert_array_equal(np.asarray(dx_v), np.asarray(dx_f))
     np.testing.assert_array_equal(np.asarray(dw_v), np.asarray(dw_f))
+
+
+class TestBNAffineFusion:
+    """Train-mode BatchNorm fused into the PLIF kernel (affine path)."""
+
+    def _affine(self, seed, C):
+        rng = np.random.default_rng(seed)
+        mean = jnp.asarray(rng.normal(0.1, 0.3, C), jnp.float32)
+        mul = jnp.asarray(rng.normal(1.0, 0.2, C), jnp.float32)
+        bias = jnp.asarray(rng.normal(0.0, 0.2, C), jnp.float32)
+        return mean, mul, bias
+
+    @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+    def test_values_match_unfused(self, dtype):
+        x = _x(21, dtype)
+        w = jnp.asarray(-1.1, jnp.float32)
+        mean, mul, bias = self._affine(5, C)
+        y_fused = plif_fused(
+            x, T, w, spike_fn="atan", interpret=True,
+            affine=(mean, mul, bias),
+        )
+        # unfused: flax-order normalize, storage-dtype round, plain kernel
+        xn = (((x - mean) * mul) + bias).astype(dtype)
+        y_ref = plif_fused(xn, T, w, spike_fn="atan", interpret=True)
+        np.testing.assert_array_equal(
+            np.asarray(y_fused, np.float32), np.asarray(y_ref, np.float32)
+        )
+
+    def test_values_match_unfused_int8_view(self):
+        x = _x(22, jnp.bfloat16)
+        w = jnp.asarray(-1.1, jnp.float32)
+        mean, mul, bias = self._affine(6, C)
+        y_fused = plif_fused(
+            x, T, w, spike_fn="atan", interpret=True, out_int8="view",
+            affine=(mean, mul, bias),
+        )
+        assert y_fused.dtype == x.dtype
+        xn = (((x - mean) * mul) + bias).astype(x.dtype)
+        y_ref = plif_fused(xn, T, w, spike_fn="atan", interpret=True)
+        np.testing.assert_array_equal(
+            np.asarray(y_fused, np.float32), np.asarray(y_ref, np.float32)
+        )
+
+    def test_grads_match_unfused(self):
+        x = _x(23, jnp.float32)
+        w = jnp.asarray(-1.0, jnp.float32)
+        mean, mul, bias = self._affine(7, C)
+        g = jnp.asarray(
+            np.random.default_rng(8).normal(size=x.shape), jnp.float32
+        )
+
+        def loss_fused(xx, ww, m, s, b):
+            y = plif_fused(xx, T, ww, spike_fn="atan", interpret=True,
+                           affine=(m, s, b))
+            return (y * g).sum()
+
+        def loss_ref(xx, ww, m, s, b):
+            xn = ((xx - m) * s + b).astype(xx.dtype)
+            y = plif_fused(xn, T, ww, spike_fn="atan", interpret=True)
+            return (y * g).sum()
+
+        gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(
+            x, w, mean, mul, bias
+        )
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(
+            x, w, mean, mul, bias
+        )
+        for a, b_ in zip(gf, gr):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b_, np.float32),
+                rtol=1e-5, atol=1e-5,
+            )
+
+
+def test_batchnorm_fusable_matches_flax():
+    """BatchNormFusable normalize mode is bit-identical to nn.BatchNorm
+    (values, running-stats update, gradients)."""
+    import flax.linen as fnn
+
+    from eas_snn_tpu.models.blocks import BatchNormFusable
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0.3, 1.2, (6, 4, 4, 8)), jnp.bfloat16)
+
+    ours = BatchNormFusable(momentum=0.97, epsilon=1e-3, dtype=jnp.bfloat16)
+    ref = fnn.BatchNorm(momentum=0.97, epsilon=1e-3, dtype=jnp.bfloat16)
+    v0 = ours.init(jax.random.PRNGKey(0), x, True)
+    vr = ref.init(jax.random.PRNGKey(0), x, use_running_average=False)
+    # same variable tree
+    assert jax.tree_util.tree_structure(v0) == jax.tree_util.tree_structure(vr)
+
+    # nudge params off init to make the comparison non-trivial
+    v0 = jax.tree_util.tree_map(
+        lambda l: l + 0.1 if l.ndim == 1 else l, v0
+    )
+    y_o, m_o = ours.apply(v0, x, True, mutable=["batch_stats"])
+    y_r, m_r = ref.apply(v0, x, use_running_average=False,
+                         mutable=["batch_stats"])
+    np.testing.assert_array_equal(np.asarray(y_o, np.float32),
+                                  np.asarray(y_r, np.float32))
+    for k in ("mean", "var"):
+        np.testing.assert_array_equal(
+            np.asarray(m_o["batch_stats"][k]),
+            np.asarray(m_r["batch_stats"][k]),
+        )
+    # eval mode
+    y_o = ours.apply(v0, x, False)
+    y_r = ref.apply(v0, x, use_running_average=True)
+    np.testing.assert_array_equal(np.asarray(y_o, np.float32),
+                                  np.asarray(y_r, np.float32))
+
+    def loss_ours(xx):
+        y, _ = ours.apply(v0, xx, True, mutable=["batch_stats"])
+        return (y.astype(jnp.float32) ** 2).sum()
+
+    def loss_ref(xx):
+        y, _ = ref.apply(v0, xx, use_running_average=False,
+                         mutable=["batch_stats"])
+        return (y.astype(jnp.float32) ** 2).sum()
+
+    go = jax.grad(loss_ours)(x)
+    gr = jax.grad(loss_ref)(x)
+    np.testing.assert_array_equal(np.asarray(go, np.float32),
+                                  np.asarray(gr, np.float32))

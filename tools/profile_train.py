@@ -97,9 +97,13 @@ def main():
             )
             return losses.total_loss
 
-        def loss_fn(p):
+        def loss_fn(arg):
+            # (params, events) both as ARGUMENTS: a closed-over batch at
+            # B=128 is a 335 MB HLO constant and blows the relay's
+            # remote-compile upload limit (HTTP 413)
+            p, ev = arg
             out, _ = model.apply(
-                {"params": p, "batch_stats": stats}, events, targets,
+                {"params": p, "batch_stats": stats}, ev, targets,
                 train=True, mutable=["batch_stats"], method=method,
             )
             return out
@@ -108,22 +112,33 @@ def main():
 
     out = {"batch": B, "K": args.K, "remat": args.remat, "ms": {}}
     secs = args.sections.split(",")
+    arg0 = (params, events)
+
+    def grad_of(loss_fn):
+        def g(arg):
+            p, ev = arg
+            return jax.grad(lambda pp: loss_fn((pp, ev)))(p)
+
+        return g
 
     if "fwd_loss" in secs:
         out["ms"]["fwd_loss"] = round(
-            device_ms(make_loss(""), params, args.K), 2
+            device_ms(make_loss(""), arg0, args.K), 2
         )
+        print("fwd_loss", out["ms"]["fwd_loss"], flush=True)
     if "grad_full" in secs:
         out["ms"]["grad_full"] = round(
-            device_ms(jax.grad(make_loss("")), params, args.K), 2
+            device_ms(grad_of(make_loss("")), arg0, args.K), 2
         )
+        print("grad_full", out["ms"]["grad_full"], flush=True)
     if "grad_stop_emb" in secs:
         out["ms"]["grad_stop_emb"] = round(
-            device_ms(jax.grad(make_loss("emb")), params, args.K), 2
+            device_ms(grad_of(make_loss("emb")), arg0, args.K), 2
         )
+        print("grad_stop_emb", out["ms"]["grad_stop_emb"], flush=True)
     if "grad_stop_backbone" in secs:
         out["ms"]["grad_stop_backbone"] = round(
-            device_ms(jax.grad(make_loss("backbone")), params, args.K), 2
+            device_ms(grad_of(make_loss("backbone")), arg0, args.K), 2
         )
 
     ms = out["ms"]
