@@ -1,0 +1,206 @@
+"""Fused 1x1-conv + BatchNorm + PLIF as a single Pallas TPU kernel (eval).
+
+Why: at eval the spiking backbone is HBM-bandwidth-bound (BENCHMARKS.md
+roofline: 808 GB/s measured vs ~819 GB/s v5e peak). Per spiking conv
+site the XLA chain is
+
+    read spikes (int8) -> conv -> WRITE preact (bf16) ->
+    READ preact (bf16) -> PLIF kernel -> write spikes (int8)
+
+because the PLIF recurrence lives in a separate ``pallas_call`` that XLA
+cannot fuse into the convolution. For a 1x1 conv the contraction is a
+pure matmul, so this kernel computes conv + BN + the T-step neuron in
+ONE pass: read int8 spikes, matmul on the MXU, affine + recurrence in
+VMEM, write int8 spikes. The 4 bytes/element of preact traffic — the
+largest single term in the backbone's byte budget — disappear.
+
+Layout (same trick as ops/plif_pallas.py): XLA keeps NHWC conv
+activations in layout {0,3,2,1} — batch minor (lanes), channels
+second-minor (sublanes). The (H*W, C, T*B) view used here is a pure
+bitcast of that layout (C % 8 == 0), so the kernel reads its input and
+writes its output with ZERO relayout copies. Each grid step loads a
+block of hw pixels and runs, per pixel, the matmul
+
+    acc[co, tb] = sum_ci w[co, ci] * x[ci, tb]      (MXU, f32 accumulate)
+
+with the eval-mode BatchNorm folded into the operands ahead of time
+(w_fused = kernel * mul[co], bias_eff = bias - mean * mul — the standard
+conv-BN fold, utils/model_surgery.py:fuse_conv_bn), then the PLIF
+recurrence over the T lane-slices exactly as plif_fused's kernel does.
+
+Forward-only by design: training keeps the autodiffable
+conv -> BN-affine-fused PLIF path (ops/plif_pallas.py), whose custom_vjp
+defines the gradients. Reference for the composed site semantics:
+yolox/models/network_blocks.py:31-56 (BaseConv) +
+yolox/utils/utils_snn.py:45-52 (ParametricLIFNode, step_mode='m').
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .plif_pallas import _spike_ge
+
+__all__ = [
+    "conv1x1_plif_fused",
+    "conv1x1_plif_supported",
+    "conv1x1_plif_reference",
+]
+
+_LANE = 128
+
+
+def _hw_block(HW: int) -> int:
+    for cand in (16, 8, 10, 5, 4, 2, 1):
+        if HW % cand == 0:
+            return cand
+    return 1
+
+
+def conv1x1_plif_supported(shape4, T: int, c_out: int, dtype) -> bool:
+    """(T*B, H, W, C_in) input is kernel-eligible: the (H*W, C, T*B) views
+    must be bitcasts of the conv layout (C % 8 == 0) and the T lane-slices
+    128-aligned (B % 128 == 0)."""
+    if len(shape4) != 4:
+        return False
+    if jnp.dtype(dtype) not in (
+        jnp.dtype(jnp.int8), jnp.dtype(jnp.bfloat16), jnp.dtype(jnp.float32)
+    ):
+        return False
+    TB, H, W, C = shape4
+    if TB % T or (TB // T) % _LANE or C % 8 or c_out % 8:
+        return False
+    # VMEM: x block + out block + fp32 acc/v values + weights, double-buffered
+    blk = _hw_block(H * W)
+    TBp = TB
+    est = (
+        2 * blk * C * TBp * jnp.dtype(dtype).itemsize     # x blocks
+        + 2 * blk * c_out * TBp                           # int8 out blocks
+        + 2 * c_out * TBp * 4 + c_out * (TBp // T) * 4    # acc + v values
+        + c_out * C * 2 + c_out * 4
+    )
+    return est < 80 * 1024 * 1024
+
+
+def _kernel(a_ref, w_ref, b_ref, x_ref, o_ref, *, T, B, thresh, ge):
+    a = a_ref[0]
+    w = w_ref[...]
+    b = b_ref[...].astype(jnp.float32)
+
+    def body(i, _):
+        xi = x_ref[i].astype(w.dtype)  # (Cin, TB)
+        acc = jax.lax.dot_general(
+            w, xi, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b                          # (Cout, TB), f32
+        v = jnp.zeros((acc.shape[0], B), jnp.float32)
+        for t in range(T):
+            v = v * a + acc[:, t * B:(t + 1) * B]
+            d = v - thresh
+            sp = (d >= 0 if ge else d > 0)
+            o_ref[i, :, t * B:(t + 1) * B] = sp.astype(o_ref.dtype)
+            v = v - thresh * sp.astype(jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, x_ref.shape[0], body, 0)
+
+
+@lru_cache(maxsize=None)
+def _make(kind: str, thresh: float, T: int, HW: int, Cin: int, Cout: int,
+          interpret: bool, in_dt: str, out_dt: str):
+    ge = _spike_ge(kind)
+    blk = _hw_block(HW)
+
+    def fn(x3, a32, w_oc, bias):
+        B = x3.shape[-1] // T
+        return pl.pallas_call(
+            partial(_kernel, T=T, B=B, thresh=thresh, ge=ge),
+            out_shape=jax.ShapeDtypeStruct(
+                (HW, Cout, x3.shape[-1]), jnp.dtype(out_dt)
+            ),
+            grid=(HW // blk,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((Cout, Cin), lambda i: (0, 0)),
+                pl.BlockSpec((Cout, 1), lambda i: (0, 0)),
+                pl.BlockSpec((blk, Cin, x3.shape[-1]), lambda i: (i, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (blk, Cout, x3.shape[-1]), lambda i: (i, 0, 0)
+            ),
+            interpret=interpret,
+        )(a32, w_oc, bias, x3)
+
+    return fn
+
+
+def conv1x1_plif_fused(
+    x_tb: jnp.ndarray,
+    w_oc: jnp.ndarray,
+    bias: jnp.ndarray,
+    T: int,
+    w_plif: jnp.ndarray,
+    *,
+    thresh: float = 1.0,
+    spike_fn: str = "atan",
+    out_dtype=jnp.int8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused eval-time 1x1 conv + folded BN + PLIF.
+
+    Args:
+      x_tb: (T*B, H, W, C_in) input spikes/activations (int8/bf16/f32).
+      w_oc: (C_out, C_in) BN-folded conv weights (kernel[0,0].T * mul[:,None]).
+      bias: (C_out,) BN-folded bias (beta - mean * mul).
+      T: time steps folded in the batch axis.
+      w_plif: PLIF decay logit (scalar); a = 1 - sigmoid(w) outside, f32.
+      out_dtype: jnp.int8 for spike storage (bit-lossless — spikes are 0/1).
+
+    Returns (T*B, H, W, C_out) spikes in ``out_dtype``.
+    """
+    TB, H, W, Cin = x_tb.shape
+    Cout = w_oc.shape[0]
+    a = (1.0 - jax.nn.sigmoid(w_plif.astype(jnp.float32))).reshape(1)
+    x3 = x_tb.transpose(1, 2, 3, 0).reshape(H * W, Cin, TB)
+    fn = _make(
+        spike_fn, float(thresh), int(T), H * W, Cin, Cout, interpret,
+        jnp.dtype(x_tb.dtype).name, jnp.dtype(out_dtype).name,
+    )
+    # Multiplies in bf16 (matching the XLA conv's default TPU precision),
+    # accumulate in f32.
+    s3 = fn(x3, a, w_oc.astype(jnp.bfloat16), bias.reshape(-1, 1)
+            .astype(jnp.float32))
+    return s3.reshape(H, W, Cout, TB).transpose(3, 0, 1, 2)
+
+
+def conv1x1_plif_reference(
+    x_tb, w_oc, bias, T, w_plif, *, thresh=1.0, spike_fn="atan",
+    out_dtype=jnp.int8,
+):
+    """Pure-JAX mirror of the fused kernel (same dtypes/order per step) —
+    the PLIF fallback on non-TPU backends and the equivalence oracle in
+    tests/test_conv_plif_pallas.py."""
+    ge = _spike_ge(spike_fn)
+    TB = x_tb.shape[0]
+    B = TB // T
+    acc = jax.lax.dot_general(
+        x_tb.astype(jnp.bfloat16), w_oc.astype(jnp.bfloat16),
+        (((3,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bias.astype(jnp.float32)                       # (TB, H, W, Cout)
+    a = 1.0 - jax.nn.sigmoid(w_plif.astype(jnp.float32))
+    xs = acc.reshape((T, B) + acc.shape[1:])
+    v = jnp.zeros_like(xs[0])
+    outs = []
+    for t in range(T):
+        v = v * a + xs[t]
+        d = v - thresh
+        sp = (d >= 0 if ge else d > 0)
+        outs.append(sp.astype(out_dtype))
+        v = v - thresh * sp.astype(jnp.float32)
+    return jnp.stack(outs).reshape((TB,) + acc.shape[1:])

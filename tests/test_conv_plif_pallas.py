@@ -1,0 +1,158 @@
+"""Fused eval-time 1x1-conv + folded-BN + PLIF kernel (ops/conv_plif_pallas).
+
+Equality strategy: weights/bias are quarter-valued (exact in bf16/f32) and
+inputs are 0/1 spikes, so every product and f32 sum is exact regardless of
+summation order — the kernel (interpret mode) must match the pure-JAX
+reference BITWISE. The fused site vs the unfused conv->BN->PLIF chain is
+compared statistically (the BN fold and the skipped bf16 preact round are
+a real arithmetic difference that chaotic threshold dynamics amplify on a
+small fraction of elements — same story as BENCHMARKS.md's bf16 notes).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from eas_snn_tpu.ops.conv_plif_pallas import (
+    conv1x1_plif_fused,
+    conv1x1_plif_reference,
+    conv1x1_plif_supported,
+)
+
+T, B = 3, 128
+TB = T * B
+
+
+def _spikes(seed, shape, dtype):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.integers(0, 2, shape), dtype)
+
+
+def _quarters(seed, shape):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.integers(-6, 7, shape) * 0.25, jnp.float32)
+
+
+class TestKernelVsReference:
+    @pytest.mark.parametrize("in_dt", [jnp.int8, jnp.bfloat16])
+    @pytest.mark.parametrize("hwc", [(4, 4, 16, 48), (2, 5, 32, 64)])
+    def test_bitwise(self, in_dt, hwc):
+        H, W, Cin, Cout = hwc
+        x = _spikes(1, (TB, H, W, Cin), in_dt)
+        w_oc = _quarters(2, (Cout, Cin))
+        bias = _quarters(3, (Cout,))
+        wp = jnp.asarray(-1.1, jnp.float32)
+        assert conv1x1_plif_supported(x.shape, T, Cout, x.dtype)
+        y = conv1x1_plif_fused(
+            x, w_oc, bias, T, wp, interpret=True, out_dtype=jnp.int8
+        )
+        ref = conv1x1_plif_reference(
+            x, w_oc, bias, T, wp, out_dtype=jnp.int8
+        )
+        assert y.shape == (TB, H, W, Cout) and y.dtype == jnp.int8
+        np.testing.assert_array_equal(np.asarray(y), np.asarray(ref))
+        assert 0.05 < np.asarray(ref, np.float32).mean() < 0.95
+
+    def test_float_out(self):
+        x = _spikes(4, (TB, 4, 4, 16), jnp.bfloat16)
+        w_oc = _quarters(5, (24, 16))
+        bias = _quarters(6, (24,))
+        wp = jnp.asarray(-1.0, jnp.float32)
+        y = conv1x1_plif_fused(
+            x, w_oc, bias, T, wp, interpret=True, out_dtype=jnp.bfloat16
+        )
+        ref = conv1x1_plif_reference(
+            x, w_oc, bias, T, wp, out_dtype=jnp.bfloat16
+        )
+        assert y.dtype == jnp.bfloat16
+        np.testing.assert_array_equal(
+            np.asarray(y, np.float32), np.asarray(ref, np.float32)
+        )
+
+
+def test_supported_gate():
+    assert not conv1x1_plif_supported((TB, 4, 4, 12), T, 16, jnp.int8)  # C%8
+    assert not conv1x1_plif_supported((96, 4, 4, 16), T, 16, jnp.int8)  # B%128
+    assert not conv1x1_plif_supported((TB, 4, 4, 16), T, 16, jnp.int32)
+    assert conv1x1_plif_supported((TB, 4, 4, 16), T, 16, jnp.float32)
+
+
+class TestBaseConvWiring:
+    """The BaseConv eval fused branch folds BN correctly and routes through
+    the kernel; vs the unfused chain only a threshold-edge fraction of
+    spikes may differ."""
+
+    def _mk(self, Cin=16, Cout=48):
+        from eas_snn_tpu.models.blocks import BaseConv, NeuronCfg
+
+        conv = BaseConv(
+            Cout, 1, 1, act="silu", neuron=NeuronCfg.snn(T),
+            dtype=jnp.bfloat16,
+        )
+        x = _spikes(7, (TB, 4, 4, Cin), jnp.int8)
+        v = conv.init(jax.random.PRNGKey(0), x.astype(jnp.bfloat16), True)
+        # nudge BN stats/params off init so the fold is non-trivial
+        v = jax.tree_util.tree_map(
+            lambda l: l + 0.25 if l.ndim == 1 and l.shape[0] == Cout else l, v
+        )
+        return conv, v, x
+
+    def test_fused_branch_matches_direct_op(self, monkeypatch):
+        import eas_snn_tpu.ops.conv_plif_pallas as cpp
+
+        conv, v, x = self._mk()
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        real = cpp.conv1x1_plif_fused
+        monkeypatch.setattr(
+            cpp, "conv1x1_plif_fused",
+            lambda *a, **k: real(*a, **{**k, "interpret": True}),
+        )
+        y = conv.apply(v, x, False)
+        assert y.dtype == jnp.int8
+
+        # hand-fold and call the op directly
+        wk = v["params"]["conv"]["kernel"][0, 0]
+        scale = v["params"]["bn"]["scale"]
+        beta = v["params"]["bn"]["bias"]
+        mean = v["batch_stats"]["bn"]["mean"]
+        var = v["batch_stats"]["bn"]["var"]
+        mul = jax.lax.rsqrt(var + 1e-3) * scale
+        w_oc = (wk.astype(jnp.float32) * mul[None, :]).T
+        bias_eff = beta - mean * mul
+        wp = v["params"]["PLIF_0"]["w"]
+        ref = cpp.conv1x1_plif_reference(
+            x, w_oc, bias_eff, T, wp, out_dtype=jnp.int8
+        )
+        np.testing.assert_array_equal(np.asarray(y), np.asarray(ref))
+
+    def test_fused_vs_unfused_statistical(self, monkeypatch):
+        import eas_snn_tpu.ops.conv_plif_pallas as cpp
+
+        conv, v, x = self._mk()
+        y_plain = conv.apply(v, x.astype(jnp.bfloat16), False)
+
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        real = cpp.conv1x1_plif_fused
+        monkeypatch.setattr(
+            cpp, "conv1x1_plif_fused",
+            lambda *a, **k: real(*a, **{**k, "interpret": True}),
+        )
+        y_fused = conv.apply(v, x, False)
+        a = np.asarray(y_plain, np.float32)
+        b = np.asarray(y_fused, np.float32)
+        assert set(np.unique(b)) <= {0.0, 1.0}
+        # arithmetic differs (BN fold + no bf16 preact round): only a small
+        # threshold-edge fraction may flip
+        assert (a != b).mean() < 0.02
+        assert abs(a.mean() - b.mean()) < 0.01
+
+    def test_init_and_train_unaffected(self):
+        conv, v, x = self._mk()
+        # init created the full unfused tree
+        assert set(v["params"].keys()) == {"conv", "bn", "PLIF_0"}
+        y, _ = conv.apply(
+            v, x.astype(jnp.bfloat16), True, mutable=["batch_stats"]
+        )
+        assert y.shape == (TB, 4, 4, 48)
