@@ -100,7 +100,7 @@ class PLIF(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False,
-                 affine=None, conv1x1=None) -> jnp.ndarray:
+                 affine=None, conv1x1=None, conv3x3=None) -> jnp.ndarray:
         w = self.param("w", lambda _: jnp.asarray(PLIF_W_INIT, jnp.float32))
         from ..ops.plif_pallas import plif_fused, plif_fused_supported
 
@@ -109,28 +109,32 @@ class PLIF(nn.Module):
             and jax.default_backend() == "tpu"
             and self.spike_fn in ("atan", "rect", "sigmoid", "tanh")
         )
-        if conv1x1 is not None:
-            # eval-only: the whole 1x1 conv (+ folded BN) runs inside the
+        if conv1x1 is not None or conv3x3 is not None:
+            # eval-only: the whole conv (+ folded BN) runs inside the
             # PLIF kernel — x here is the CONV INPUT (previous layer's
             # spikes, int8 at eval), and the preact never touches HBM.
-            from ..ops.conv_plif_pallas import (
-                conv1x1_plif_fused,
-                conv1x1_plif_reference,
-                conv1x1_plif_supported,
-            )
+            from ..ops import conv_plif_pallas as cpp
 
-            w_oc, bias_eff, float_dt = conv1x1
+            w_mat, bias_eff, float_dt = (
+                conv1x1 if conv1x1 is not None else conv3x3
+            )
+            c_out = w_mat.shape[0] if conv1x1 is not None else w_mat.shape[1]
             out_dt = jnp.int8 if self.eval_store == "int8" else float_dt
             kw = dict(thresh=self.thresh, spike_fn=self.spike_fn,
                       out_dtype=out_dt)
-            if use_fused and conv1x1_plif_supported(
-                x.shape, self.T, w_oc.shape[0], x.dtype
-            ):
-                return conv1x1_plif_fused(
-                    x, w_oc, bias_eff, self.T, w,
+            fused, ref, sup = (
+                (cpp.conv1x1_plif_fused, cpp.conv1x1_plif_reference,
+                 cpp.conv1x1_plif_supported)
+                if conv1x1 is not None else
+                (cpp.conv3x3_plif_fused, cpp.conv3x3_plif_reference,
+                 cpp.conv3x3_plif_supported)
+            )
+            if use_fused and sup(x.shape, self.T, c_out, x.dtype):
+                return fused(
+                    x, w_mat, bias_eff, self.T, w,
                     interpret=self.fuse == "interpret", **kw,
                 )
-            return conv1x1_plif_reference(x, w_oc, bias_eff, self.T, w, **kw)
+            return ref(x, w_mat, bias_eff, self.T, w, **kw)
         if use_fused and plif_fused_supported(x.shape, self.T, x.dtype):
             if train:
                 store = "view" if self.train_store == "int8" else False
@@ -232,20 +236,21 @@ class BaseConv(nn.Module):
     neuron: NeuronCfg = NeuronCfg.ann()
     dtype: object = jnp.float32  # compute dtype (bf16 for MXU throughput)
 
-    def _conv1x1_plif_eligible(self, x0, train: bool) -> bool:
-        """Eval-time whole-site fusion gate: 1x1/stride-1/ungrouped spiking
-        conv whose input geometry the fused conv+BN+PLIF kernel supports
-        (ops/conv_plif_pallas.py), on the TPU backend, outside init (init
-        must trace the unfused path so every param is created)."""
+    def _conv_plif_eligible(self, x0, train: bool) -> bool:
+        """Eval-time whole-site fusion gate: 1x1 or 3x3, stride-1,
+        ungrouped spiking conv whose input geometry the fused
+        conv+BN+PLIF kernel supports (ops/conv_plif_pallas.py), on the
+        TPU backend, outside init (init must trace the unfused path so
+        every param is created)."""
         if train or not self.neuron.spiking or self.is_initializing():
             return False
-        if self.ksize != 1 or self.stride != 1 or self.groups != 1:
+        if self.ksize not in (1, 3) or self.stride != 1 or self.groups != 1:
             return False
-        from ..ops.conv_plif_pallas import conv1x1_plif_supported
+        from ..ops import conv_plif_pallas as cpp
 
-        if not conv1x1_plif_supported(
-            x0.shape, self.neuron.T, self.out_channels, x0.dtype
-        ):
+        sup = (cpp.conv1x1_plif_supported if self.ksize == 1
+               else cpp.conv3x3_plif_supported)
+        if not sup(x0.shape, self.neuron.T, self.out_channels, x0.dtype):
             return False
         return jax.default_backend() == "tpu"
 
@@ -283,20 +288,25 @@ class BaseConv(nn.Module):
             momentum=0.97, epsilon=1e-3, dtype=self.dtype, name="bn"
         )
         act = make_act(self.neuron, self.act)
-        if self._conv1x1_plif_eligible(x0, train):
+        if self._conv_plif_eligible(x0, train):
             # whole-site fusion: fold the eval BN into the conv weights
             # (same algebra as utils/model_surgery.py:fuse_conv_bn) and run
             # conv + affine + PLIF in one kernel — the bf16 preact never
             # round-trips HBM. ``self.variables`` reads the already-created
             # params (the unfused trace below creates them at init).
-            wk = self.variables["params"]["conv"]["kernel"][0, 0]
+            wk = self.variables["params"]["conv"]["kernel"]
             mean, mul, bias_ = bn(
                 jnp.zeros((1, 1, 1, self.out_channels), self.dtype),
                 False, mode="affine",
             )
-            w_oc = (wk.astype(jnp.float32) * mul[None, :]).T
             bias_eff = bias_ - mean * mul
-            return act(x0, train, conv1x1=(w_oc, bias_eff, self.dtype))
+            if self.ksize == 1:
+                w_oc = (wk[0, 0].astype(jnp.float32) * mul[None, :]).T
+                return act(x0, train, conv1x1=(w_oc, bias_eff, self.dtype))
+            from ..ops.conv_plif_pallas import fold_conv3x3
+
+            w3 = fold_conv3x3(wk, mul)
+            return act(x0, train, conv3x3=(w3, bias_eff, self.dtype))
         x = nn.Conv(
             self.out_channels,
             (self.ksize, self.ksize),

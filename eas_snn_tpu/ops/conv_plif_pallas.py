@@ -50,6 +50,10 @@ __all__ = [
     "conv1x1_plif_fused",
     "conv1x1_plif_supported",
     "conv1x1_plif_reference",
+    "conv3x3_plif_fused",
+    "conv3x3_plif_supported",
+    "conv3x3_plif_reference",
+    "fold_conv3x3",
 ]
 
 _LANE = 128
@@ -176,6 +180,224 @@ def conv1x1_plif_fused(
     s3 = fn(x3, a, w_oc.astype(jnp.bfloat16), bias.reshape(-1, 1)
             .astype(jnp.float32))
     return s3.reshape(H, W, Cout, TB).transpose(3, 0, 1, 2)
+
+
+# ---------------------------------------------------------------------------
+# 3x3 stride-1 variant (Bottleneck conv2 sites, network_blocks.py:81-104)
+# ---------------------------------------------------------------------------
+#
+# Same layout and epilogue as the 1x1 kernel; the conv becomes, per output
+# pixel, three MXU dots (one per dy) with dx and C_in folded into the
+# contraction:  acc += w[dy] @ pad[h+dy, w:w+3].reshape(3*Cin, TB).
+# The H halo comes from two extra single-row inputs whose index maps pick
+# the rows just outside the center block (clamped at the image border and
+# zeroed in-kernel); the W halo is a zero column on each side of the
+# padded slab assembled in VMEM scratch. Input re-read is (h_blk+2)/h_blk
+# of one int8 pass — far below the 4 bytes/element of bf16 preact traffic
+# this kernel removes.
+
+
+def _h_block(H: int) -> int:
+    for cand in (8, 4, 2, 1):
+        if H % cand == 0:
+            return cand
+    return 1
+
+
+def conv3x3_plif_supported(shape4, T: int, c_out: int, dtype) -> bool:
+    if len(shape4) != 4:
+        return False
+    if jnp.dtype(dtype) not in (
+        jnp.dtype(jnp.int8), jnp.dtype(jnp.bfloat16), jnp.dtype(jnp.float32)
+    ):
+        return False
+    TB, H, W, C = shape4
+    if TB % T or (TB // T) % _LANE or C % 8 or c_out % 8:
+        return False
+    hb = _h_block(H)
+    isz = jnp.dtype(dtype).itemsize
+    est = (
+        (hb + 2) * (W + 2) * C * TB * isz          # padded slab scratch
+        + 2 * hb * W * C * TB * isz                # center blocks
+        + 4 * W * C * TB * isz                     # slim halo blocks
+        + 2 * hb * W * c_out * TB                  # int8 out blocks
+        + 2 * c_out * TB * 4                       # acc/v values
+        + 3 * c_out * 3 * C * 2 + c_out * 4
+    )
+    return est < 80 * 1024 * 1024
+
+
+def fold_conv3x3(kernel_hwio: jnp.ndarray, mul: jnp.ndarray) -> jnp.ndarray:
+    """(3, 3, Cin, Cout) HWIO kernel * per-Cout BN mul -> (3, Cout, 3*Cin)
+    with the last axis ordered (dx, ci) to match the kernel's
+    ``pad[h+dy, w:w+3].reshape(3*Cin, TB)`` operand."""
+    k = kernel_hwio.astype(jnp.float32) * mul[None, None, None, :]
+    # (dy, dx, ci, co) -> (dy, co, dx, ci) -> (3, Cout, 3*Cin)
+    k = k.transpose(0, 3, 1, 2)
+    return k.reshape(3, k.shape[1], -1)
+
+
+def _kernel3(a_ref, w_ref, b_ref, xc_ref, xp_ref, xn_ref, o_ref, pad_ref,
+             *, T, B, thresh, ge, h_blk, W, nb):
+    i = pl.program_id(0)
+    a = a_ref[0]
+    b = b_ref[...].astype(jnp.float32)
+    zrow = jnp.zeros(pad_ref.shape[1:], pad_ref.dtype)  # (W+2, Cin, TB)
+
+    # assemble the zero-bordered slab: rows 1..h_blk are the center block,
+    # rows 0 / h_blk+1 the halo rows (zeroed at the image border)
+    zcol = jnp.zeros(
+        (pad_ref.shape[0],) + pad_ref.shape[2:], pad_ref.dtype
+    )
+    pad_ref[:, 0] = zcol
+    pad_ref[:, W + 1] = zcol
+    pad_ref[0, 1:W + 1] = xp_ref[0]
+    pad_ref[h_blk + 1, 1:W + 1] = xn_ref[0]
+    for h in range(h_blk):
+        pad_ref[h + 1, 1:W + 1] = xc_ref[h]
+
+    @pl.when(i == 0)
+    def _top():
+        pad_ref[0] = zrow
+
+    @pl.when(i == nb - 1)
+    def _bot():
+        pad_ref[h_blk + 1] = zrow
+
+    Cout = o_ref.shape[2]
+    f32 = jnp.float32
+
+    for h in range(h_blk):
+
+        def wbody(wi, _, h=h):
+            acc = jnp.zeros((Cout, xc_ref.shape[-1]), f32) + b
+            for dy in range(3):
+                xs = pad_ref[h + dy, pl.dslice(wi, 3)]     # (3, Cin, TB)
+                xs = xs.reshape(-1, xs.shape[-1])          # (3*Cin, TB)
+                acc = acc + jax.lax.dot_general(
+                    w_ref[dy], xs.astype(w_ref.dtype),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32,
+                )
+            v = jnp.zeros((Cout, B), f32)
+            for t in range(T):
+                v = v * a + acc[:, t * B:(t + 1) * B]
+                d = v - thresh
+                sp = (d >= 0 if ge else d > 0)
+                o_ref[h, pl.dslice(wi, 1), :, t * B:(t + 1) * B] = (
+                    sp.astype(o_ref.dtype)[None]
+                )
+                v = v - thresh * sp.astype(f32)
+            return 0
+
+        jax.lax.fori_loop(0, W, wbody, 0)
+
+
+@lru_cache(maxsize=None)
+def _make3(kind: str, thresh: float, T: int, H: int, W: int, Cin: int,
+           Cout: int, interpret: bool, in_dt: str, out_dt: str):
+    ge = _spike_ge(kind)
+    hb = _h_block(H)
+    nb = H // hb
+
+    def fn(x4v, a32, w3, bias):
+        TB = x4v.shape[-1]
+        B = TB // T
+        slim = lambda f: pl.BlockSpec(  # noqa: E731
+            (1, W, Cin, TB), lambda i: (f(i), 0, 0, 0)
+        )
+        return pl.pallas_call(
+            partial(_kernel3, T=T, B=B, thresh=thresh, ge=ge, h_blk=hb,
+                    W=W, nb=nb),
+            out_shape=jax.ShapeDtypeStruct(
+                (H, W, Cout, TB), jnp.dtype(out_dt)
+            ),
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((3, Cout, 3 * Cin), lambda i: (0, 0, 0)),
+                pl.BlockSpec((Cout, 1), lambda i: (0, 0)),
+                pl.BlockSpec((hb, W, Cin, TB), lambda i: (i, 0, 0, 0)),
+                slim(lambda i: jnp.maximum(i * hb - 1, 0)),
+                slim(lambda i: jnp.minimum((i + 1) * hb, H - 1)),
+            ],
+            out_specs=pl.BlockSpec(
+                (hb, W, Cout, TB), lambda i: (i, 0, 0, 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((hb + 2, W + 2, Cin, TB), jnp.dtype(in_dt)),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(a32, w3, bias, x4v, x4v, x4v)
+
+    return fn
+
+
+def conv3x3_plif_fused(
+    x_tb: jnp.ndarray,
+    w3: jnp.ndarray,
+    bias: jnp.ndarray,
+    T: int,
+    w_plif: jnp.ndarray,
+    *,
+    thresh: float = 1.0,
+    spike_fn: str = "atan",
+    out_dtype=jnp.int8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused eval-time 3x3/stride-1 conv + folded BN + PLIF.
+
+    Args:
+      x_tb: (T*B, H, W, C_in) input spikes/activations.
+      w3: (3, C_out, 3*C_in) BN-folded weights from :func:`fold_conv3x3`.
+      bias: (C_out,) BN-folded bias.
+
+    Returns (T*B, H, W, C_out) spikes in ``out_dtype``.
+    """
+    TB, H, W, Cin = x_tb.shape
+    Cout = w3.shape[1]
+    a = (1.0 - jax.nn.sigmoid(w_plif.astype(jnp.float32))).reshape(1)
+    x4v = x_tb.transpose(1, 2, 3, 0)  # (H, W, Cin, TB) — layout bitcast
+    fn = _make3(
+        spike_fn, float(thresh), int(T), H, W, Cin, Cout, interpret,
+        jnp.dtype(x_tb.dtype).name, jnp.dtype(out_dtype).name,
+    )
+    s4 = fn(x4v, a, w3.astype(jnp.bfloat16),
+            bias.reshape(-1, 1).astype(jnp.float32))
+    return s4.transpose(3, 0, 1, 2)
+
+
+def conv3x3_plif_reference(
+    x_tb, w3, bias, T, w_plif, *, thresh=1.0, spike_fn="atan",
+    out_dtype=jnp.int8,
+):
+    """Pure-JAX mirror (bf16 multiplies, f32 accumulate, same per-step
+    order) — the PLIF fallback off-TPU and the test oracle."""
+    ge = _spike_ge(spike_fn)
+    TB, H, W, Cin = x_tb.shape
+    Cout = w3.shape[1]
+    B = TB // T
+    # (3, Cout, 3*Cin) -> HWIO
+    k = w3.reshape(3, Cout, 3, Cin).transpose(0, 2, 3, 1)
+    acc = jax.lax.conv_general_dilated(
+        x_tb.astype(jnp.bfloat16), k.astype(jnp.bfloat16), (1, 1),
+        [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ) + bias.astype(jnp.float32)
+    a = 1.0 - jax.nn.sigmoid(w_plif.astype(jnp.float32))
+    xs = acc.reshape((T, B) + acc.shape[1:])
+    v = jnp.zeros_like(xs[0])
+    outs = []
+    for t in range(T):
+        v = v * a + xs[t]
+        d = v - thresh
+        sp = (d >= 0 if ge else d > 0)
+        outs.append(sp.astype(out_dtype))
+        v = v - thresh * sp.astype(jnp.float32)
+    return jnp.stack(outs).reshape((TB,) + acc.shape[1:])
 
 
 def conv1x1_plif_reference(

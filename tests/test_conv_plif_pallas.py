@@ -72,6 +72,108 @@ class TestKernelVsReference:
         )
 
 
+class TestKernel3x3VsReference:
+    @pytest.mark.parametrize("in_dt", [jnp.int8, jnp.bfloat16])
+    @pytest.mark.parametrize("hwc", [(8, 5, 16, 48), (4, 4, 32, 24)])
+    def test_bitwise(self, in_dt, hwc):
+        from eas_snn_tpu.ops.conv_plif_pallas import (
+            conv3x3_plif_fused,
+            conv3x3_plif_reference,
+            conv3x3_plif_supported,
+            fold_conv3x3,
+        )
+
+        H, W, Cin, Cout = hwc
+        x = _spikes(11, (TB, H, W, Cin), in_dt)
+        k = _quarters(12, (3, 3, Cin, Cout))
+        mul = _quarters(13, (Cout,)) + 2.0
+        w3 = fold_conv3x3(k, mul)
+        bias = _quarters(14, (Cout,))
+        wp = jnp.asarray(-1.1, jnp.float32)
+        assert conv3x3_plif_supported(x.shape, T, Cout, x.dtype)
+        y = conv3x3_plif_fused(
+            x, w3, bias, T, wp, interpret=True, out_dtype=jnp.int8
+        )
+        ref = conv3x3_plif_reference(
+            x, w3, bias, T, wp, out_dtype=jnp.int8
+        )
+        assert y.shape == (TB, H, W, Cout) and y.dtype == jnp.int8
+        np.testing.assert_array_equal(np.asarray(y), np.asarray(ref))
+        assert 0.05 < np.asarray(ref, np.float32).mean() < 0.95
+
+    def test_reference_matches_unfolded_conv(self):
+        """fold_conv3x3 + reference == plain conv(+bias)+recurrence on the
+        original HWIO kernel (validates the (dy, co, dx*ci) weight
+        packing against lax.conv itself)."""
+        from eas_snn_tpu.ops.conv_plif_pallas import (
+            conv3x3_plif_reference,
+            fold_conv3x3,
+        )
+
+        H, W, Cin, Cout = 4, 5, 8, 16
+        x = _spikes(15, (TB, H, W, Cin), jnp.int8)
+        k = _quarters(16, (3, 3, Cin, Cout))
+        mul = jnp.ones((Cout,), jnp.float32)
+        bias = _quarters(17, (Cout,))
+        wp = jnp.asarray(-1.0, jnp.float32)
+        y = conv3x3_plif_reference(
+            x, fold_conv3x3(k, mul), bias, T, wp, out_dtype=jnp.int8
+        )
+        acc = jax.lax.conv_general_dilated(
+            x.astype(jnp.bfloat16), k.astype(jnp.bfloat16), (1, 1),
+            [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        ) + bias
+        a = 1.0 - jax.nn.sigmoid(wp)
+        xs = acc.reshape((T, B) + acc.shape[1:])
+        v = jnp.zeros_like(xs[0])
+        outs = []
+        for t in range(T):
+            v = v * a + xs[t]
+            sp = v - 1.0 >= 0
+            outs.append(sp.astype(jnp.int8))
+            v = v - sp.astype(jnp.float32)
+        ref = jnp.stack(outs).reshape((TB,) + acc.shape[1:])
+        np.testing.assert_array_equal(np.asarray(y), np.asarray(ref))
+
+
+def test_baseconv_3x3_wiring(monkeypatch):
+    """BaseConv routes eligible 3x3 sites through the fused kernel with the
+    correctly folded weights."""
+    import eas_snn_tpu.ops.conv_plif_pallas as cpp
+    from eas_snn_tpu.models.blocks import BaseConv, NeuronCfg
+
+    Cin, Cout = 16, 24
+    conv = BaseConv(
+        Cout, 3, 1, act="silu", neuron=NeuronCfg.snn(T), dtype=jnp.bfloat16
+    )
+    x = _spikes(18, (TB, 4, 4, Cin), jnp.int8)
+    v = conv.init(jax.random.PRNGKey(0), x.astype(jnp.bfloat16), True)
+    v = jax.tree_util.tree_map(
+        lambda l: l + 0.25 if l.ndim == 1 and l.shape[0] == Cout else l, v
+    )
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    real = cpp.conv3x3_plif_fused
+    monkeypatch.setattr(
+        cpp, "conv3x3_plif_fused",
+        lambda *a, **k: real(*a, **{**k, "interpret": True}),
+    )
+    y = conv.apply(v, x, False)
+    assert y.dtype == jnp.int8
+
+    scale = v["params"]["bn"]["scale"]
+    beta = v["params"]["bn"]["bias"]
+    mean = v["batch_stats"]["bn"]["mean"]
+    var = v["batch_stats"]["bn"]["var"]
+    mul = jax.lax.rsqrt(var + 1e-3) * scale
+    w3 = cpp.fold_conv3x3(v["params"]["conv"]["kernel"], mul)
+    ref = cpp.conv3x3_plif_reference(
+        x, w3, beta - mean * mul, T, v["params"]["PLIF_0"]["w"],
+        out_dtype=jnp.int8,
+    )
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(ref))
+
+
 def test_supported_gate():
     assert not conv1x1_plif_supported((TB, 4, 4, 12), T, 16, jnp.int8)  # C%8
     assert not conv1x1_plif_supported((96, 4, 4, 16), T, 16, jnp.int8)  # B%128
