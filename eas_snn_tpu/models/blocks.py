@@ -246,6 +246,13 @@ class BaseConv(nn.Module):
             return False
         if self.ksize not in (1, 3) or self.stride != 1 or self.groups != 1:
             return False
+        # A/B escape hatch (read at trace time): "0" disables whole-site
+        # fusion, "1x1"/"3x3" restricts it to one kernel size.
+        import os
+
+        pol = os.environ.get("EAS_CONV_PLIF_FUSE", "1")
+        if pol == "0" or (pol in ("1x1", "3x3") and pol != f"{self.ksize}x{self.ksize}"):
+            return False
         from ..ops import conv_plif_pallas as cpp
 
         sup = (cpp.conv1x1_plif_supported if self.ksize == 1
@@ -317,7 +324,10 @@ class BaseConv(nn.Module):
             dtype=self.dtype,
             name="conv",
         )(x)
-        if self.neuron.spiking and train:
+        import os
+
+        if (self.neuron.spiking and train
+                and os.environ.get("EAS_BN_AFFINE_FUSE", "1") != "0"):
             # train-mode BN normalize fused into the PLIF kernel: the
             # separate elementwise pass (full-tensor read+write) drops
             # out of the HBM-bound spiking-site chain. Values bitwise
