@@ -74,7 +74,11 @@ class TestKernelVsReference:
 
 class TestKernel3x3VsReference:
     @pytest.mark.parametrize("in_dt", [jnp.int8, jnp.bfloat16])
-    @pytest.mark.parametrize("hwc", [(8, 5, 16, 48), (4, 4, 32, 24)])
+    @pytest.mark.parametrize(
+        # H=16 -> h_blk=8, 2 grid blocks: exercises the cross-block halo
+        # rows (slim prev/next inputs), not just the zeroed image border
+        "hwc", [(8, 5, 16, 48), (4, 4, 32, 24), (16, 4, 8, 16)]
+    )
     def test_bitwise(self, in_dt, hwc):
         from eas_snn_tpu.ops.conv_plif_pallas import (
             conv3x3_plif_fused,
