@@ -178,6 +178,51 @@ def test_baseconv_3x3_wiring(monkeypatch):
     np.testing.assert_array_equal(np.asarray(y), np.asarray(ref))
 
 
+def test_flagship_composition_engages_fusion(monkeypatch):
+    """In the real EASYOLOX eval forward (spiking backbone), the whole-site
+    fusion engages at both 1x1 and 3x3 stride-1 spiking sites, and the
+    output stays a valid detection tensor. Kernels are monkeypatched to
+    their (XLA) reference impls so this runs on CPU; engagement counts are
+    recorded by the wrappers."""
+    import eas_snn_tpu.ops.conv_plif_pallas as cpp
+    from __graft_entry__ import _build_model
+
+    model = _build_model(
+        depth=0.33, width=0.25, T=T, Ts=3, Tm=4, compute_dtype="bfloat16"
+    )
+    rng = np.random.default_rng(0)
+    events = jnp.asarray(
+        rng.poisson(0.2, (B, 1, 4, 64, 64, 2)), jnp.float32
+    )
+    v = model.init(jax.random.PRNGKey(0), events[:1], train=False)
+
+    calls = {"1x1": 0, "3x3": 0}
+
+    def wrap1(*a, **k):
+        calls["1x1"] += 1
+        return cpp.conv1x1_plif_reference(*a[:5], **{
+            kk: vv for kk, vv in k.items() if kk != "interpret"})
+
+    def wrap3(*a, **k):
+        calls["3x3"] += 1
+        return cpp.conv3x3_plif_reference(*a[:5], **{
+            kk: vv for kk, vv in k.items() if kk != "interpret"})
+
+    import eas_snn_tpu.ops.plif_pallas as pp
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(cpp, "conv1x1_plif_fused", wrap1)
+    monkeypatch.setattr(cpp, "conv3x3_plif_fused", wrap3)
+    # non-fusable sites (stride-2 convs) would otherwise hit the real
+    # plain-PLIF Pallas kernel, which cannot run on CPU
+    monkeypatch.setattr(pp, "plif_fused_supported", lambda *a: False)
+    out = model.apply(v, events, train=False)
+    assert calls["1x1"] >= 8, calls   # CSP conv1/2/3 + bottleneck/SPP/FPN
+    assert calls["3x3"] >= 3, calls   # bottleneck conv2 sites
+    arr = np.asarray(out, np.float32)
+    assert np.isfinite(arr).all() and arr.shape[0] == B
+
+
 def test_supported_gate():
     assert not conv1x1_plif_supported((TB, 4, 4, 12), T, 16, jnp.int8)  # C%8
     assert not conv1x1_plif_supported((96, 4, 4, 16), T, 16, jnp.int8)  # B%128
