@@ -129,7 +129,12 @@ class PLIF(nn.Module):
                 (cpp.conv3x3_plif_fused, cpp.conv3x3_plif_reference,
                  cpp.conv3x3_plif_supported)
             )
-            if use_fused and sup(x.shape, self.T, c_out, x.dtype):
+            if isinstance(x, (tuple, list)):  # virtual concat (1x1 only)
+                shapes = tuple(t.shape for t in x)
+                dts = tuple(t.dtype for t in x)
+            else:
+                shapes, dts = x.shape, x.dtype
+            if use_fused and sup(shapes, self.T, c_out, dts):
                 return fused(
                     x, w_mat, bias_eff, self.T, w,
                     interpret=self.fuse == "interpret", **kw,
@@ -255,15 +260,31 @@ class BaseConv(nn.Module):
             return False
         from ..ops import conv_plif_pallas as cpp
 
-        sup = (cpp.conv1x1_plif_supported if self.ksize == 1
-               else cpp.conv3x3_plif_supported)
-        if not sup(x0.shape, self.neuron.T, self.out_channels, x0.dtype):
+        if isinstance(x0, (tuple, list)):
+            if self.ksize != 1:
+                return False
+            shapes = tuple(t.shape for t in x0)
+            dts = tuple(t.dtype for t in x0)
+            ok = cpp.conv1x1_plif_supported(
+                shapes, self.neuron.T, self.out_channels, dts
+            )
+        else:
+            sup = (cpp.conv1x1_plif_supported if self.ksize == 1
+                   else cpp.conv3x3_plif_supported)
+            ok = sup(x0.shape, self.neuron.T, self.out_channels, x0.dtype)
+        if not ok:
             return False
         return jax.default_backend() == "tpu"
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x, train: bool = False) -> jnp.ndarray:
+        # ``x`` may be a tuple of same-(TB,H,W) tensors: a channel concat.
+        # The unfused path concatenates here; the fused eval path hands the
+        # pieces to the kernel, which sums one MXU dot per piece — the
+        # concatenated tensor is then never materialized in HBM.
         x0 = x  # pre-cast input: the fused conv kernel reads int8 directly
+        if isinstance(x, (tuple, list)):
+            x = jnp.concatenate(x, axis=-1)
         x = x.astype(self.dtype)
         # Synaptic-op / MAC accounting for the energy estimator
         # (reference: yolox/evaluators/event_evaluator.py:466-565 replays
@@ -410,10 +431,10 @@ class SPPBottleneck(nn.Module):
             )
             for ks in self.kernel_sizes
         ]
-        x = jnp.concatenate([x] + pools, axis=-1)
         return BaseConv(
-            self.out_channels, 1, 1, act=self.act, neuron=self.neuron, name="conv2"
-        )(x, train)
+            self.out_channels, 1, 1, act=self.act, neuron=self.neuron,
+            dtype=self.dtype, name="conv2"
+        )(tuple([x] + pools), train)
 
 
 class CSPLayer(nn.Module):
@@ -431,6 +452,9 @@ class CSPLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # ``x`` may be a tuple (an unmaterialized channel concat, e.g. the
+        # PAFPN upsample||lateral merge): conv1/conv2 are 1x1 BaseConvs,
+        # which fold the pieces into the fused kernel at eval.
         hidden = int(self.out_channels * self.expansion)
         x1 = BaseConv(hidden, 1, 1, act=self.act, neuron=self.neuron, dtype=self.dtype, name="conv1")(
             x, train
@@ -449,10 +473,11 @@ class CSPLayer(nn.Module):
                 dtype=self.dtype,
                 name=f"m{i}",
             )(x1, train)
-        x = jnp.concatenate([x1, x2], axis=-1)
+        # handed as a tuple: BaseConv concatenates on the unfused path and
+        # folds the pieces into the fused kernel's contraction at eval
         return BaseConv(
             self.out_channels, 1, 1, act=self.act, neuron=self.neuron, dtype=self.dtype, name="conv3"
-        )(x, train)
+        )((x1, x2), train)
 
 
 class Focus(nn.Module):

@@ -72,22 +72,24 @@ class YOLOPAFPN(nn.Module):
         kw = dict(act=self.act, neuron=self.neck_neuron, dtype=self.dtype)
         csp_kw = dict(shortcut=False, depthwise=self.depthwise, **kw)
 
+        # merge points hand CSPLayer a TUPLE (unmaterialized channel
+        # concat): its 1x1 conv1/conv2 fold the pieces into the fused
+        # conv+BN+PLIF kernel at eval; the unfused path concatenates inside
+        # BaseConv with identical semantics.
         fpn_out0 = BaseConv_(c1, 1, 1, name="lateral_conv0", **kw)(x0, train)
-        f_out0 = upsample2x(fpn_out0)
-        f_out0 = jnp.concatenate([f_out0, x1], axis=-1)
+        f_out0 = (upsample2x(fpn_out0), x1)
         f_out0 = CSPLayer_(c1, n=n, name="C3_p4", **csp_kw)(f_out0, train)
 
         fpn_out1 = BaseConv_(c0, 1, 1, name="reduce_conv1", **kw)(f_out0, train)
-        f_out1 = upsample2x(fpn_out1)
-        f_out1 = jnp.concatenate([f_out1, x2], axis=-1)
+        f_out1 = (upsample2x(fpn_out1), x2)
         pan_out2 = CSPLayer_(c0, n=n, name="C3_p3", **csp_kw)(f_out1, train)
 
         p_out1 = Conv(c0, 3, 2, name="bu_conv2", **kw)(pan_out2, train)
-        p_out1 = jnp.concatenate([p_out1, fpn_out1], axis=-1)
-        pan_out1 = CSPLayer_(c1, n=n, name="C3_n3", **csp_kw)(p_out1, train)
+        pan_out1 = CSPLayer_(c1, n=n, name="C3_n3", **csp_kw)(
+            (p_out1, fpn_out1), train)
 
         p_out0 = Conv(c1, 3, 2, name="bu_conv1", **kw)(pan_out1, train)
-        p_out0 = jnp.concatenate([p_out0, fpn_out0], axis=-1)
-        pan_out0 = CSPLayer_(c2, n=n, name="C3_n4", **csp_kw)(p_out0, train)
+        pan_out0 = CSPLayer_(c2, n=n, name="C3_n4", **csp_kw)(
+            (p_out0, fpn_out0), train)
 
         return (pan_out2, pan_out1, pan_out0)

@@ -41,6 +41,7 @@ from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -66,43 +67,67 @@ def _hw_block(HW: int) -> int:
     return 1
 
 
+def _shapes(x_or_seq):
+    xs = x_or_seq if isinstance(x_or_seq, (tuple, list)) else (x_or_seq,)
+    return tuple(x.shape for x in xs), tuple(x.dtype for x in xs)
+
+
 def conv1x1_plif_supported(shape4, T: int, c_out: int, dtype) -> bool:
-    """(T*B, H, W, C_in) input is kernel-eligible: the (H*W, C, T*B) views
-    must be bitcasts of the conv layout (C % 8 == 0) and the T lane-slices
-    128-aligned (B % 128 == 0)."""
-    if len(shape4) != 4:
+    """(T*B, H, W, C_in) input(s) are kernel-eligible: the (H*W, C, T*B)
+    views must be bitcasts of the conv layout (each C % 8 == 0) and the T
+    lane-slices 128-aligned (B % 128 == 0). ``shape4``/``dtype`` may be a
+    single input's shape/dtype or matching tuples of them (a virtual
+    channel-concat: the kernel sums one MXU dot per input and the concat
+    is never materialized)."""
+    shapes = (shape4,) if len(shape4) and not isinstance(
+        shape4[0], (tuple, list)
+    ) else tuple(shape4)
+    dtypes = (dtype,) * len(shapes) if not isinstance(
+        dtype, (tuple, list)
+    ) else tuple(dtype)
+    ok_dts = (jnp.dtype(jnp.int8), jnp.dtype(jnp.bfloat16),
+              jnp.dtype(jnp.float32))
+    if any(jnp.dtype(dt) not in ok_dts for dt in dtypes):
         return False
-    if jnp.dtype(dtype) not in (
-        jnp.dtype(jnp.int8), jnp.dtype(jnp.bfloat16), jnp.dtype(jnp.float32)
-    ):
+    if any(len(s) != 4 for s in shapes):
         return False
-    TB, H, W, C = shape4
-    if TB % T or (TB // T) % _LANE or C % 8 or c_out % 8:
+    TB, H, W, _ = shapes[0]
+    if any(s[:3] != (TB, H, W) for s in shapes):
         return False
-    # VMEM: x block + out block + fp32 acc/v values + weights, double-buffered
+    if TB % T or (TB // T) % _LANE or c_out % 8:
+        return False
+    if any(s[3] % 8 for s in shapes):
+        return False
     blk = _hw_block(H * W)
-    TBp = TB
+    C = sum(s[3] for s in shapes)
+    isz = max(jnp.dtype(dt).itemsize for dt in dtypes)
     est = (
-        2 * blk * C * TBp * jnp.dtype(dtype).itemsize     # x blocks
-        + 2 * blk * c_out * TBp                           # int8 out blocks
-        + 2 * c_out * TBp * 4 + c_out * (TBp // T) * 4    # acc + v values
+        2 * blk * C * TB * isz                        # x blocks
+        + 2 * blk * c_out * TB                        # int8 out blocks
+        + 2 * c_out * TB * 4 + c_out * (TB // T) * 4  # acc + v values
         + c_out * C * 2 + c_out * 4
     )
     return est < 80 * 1024 * 1024
 
 
-def _kernel(a_ref, w_ref, b_ref, x_ref, o_ref, *, T, B, thresh, ge):
+def _kernel(a_ref, b_ref, *refs, T, B, thresh, ge, n):
+    ws = refs[:n]
+    xs = refs[n:2 * n]
+    o_ref = refs[2 * n]
     a = a_ref[0]
-    w = w_ref[...]
     b = b_ref[...].astype(jnp.float32)
+    Cout = o_ref.shape[1]
 
     def body(i, _):
-        xi = x_ref[i].astype(w.dtype)  # (Cin, TB)
-        acc = jax.lax.dot_general(
-            w, xi, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + b                          # (Cout, TB), f32
-        v = jnp.zeros((acc.shape[0], B), jnp.float32)
+        acc = jnp.zeros((Cout, o_ref.shape[-1]), jnp.float32) + b
+        for j in range(n):
+            wj = ws[j][...]
+            acc = acc + jax.lax.dot_general(
+                wj, xs[j][i].astype(wj.dtype),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                          # (Cout, TB), f32
+        v = jnp.zeros((Cout, B), jnp.float32)
         for t in range(T):
             v = v * a + acc[:, t * B:(t + 1) * B]
             d = v - thresh
@@ -111,34 +136,39 @@ def _kernel(a_ref, w_ref, b_ref, x_ref, o_ref, *, T, B, thresh, ge):
             v = v - thresh * sp.astype(jnp.float32)
         return 0
 
-    jax.lax.fori_loop(0, x_ref.shape[0], body, 0)
+    jax.lax.fori_loop(0, xs[0].shape[0], body, 0)
 
 
 @lru_cache(maxsize=None)
-def _make(kind: str, thresh: float, T: int, HW: int, Cin: int, Cout: int,
-          interpret: bool, in_dt: str, out_dt: str):
+def _make(kind: str, thresh: float, T: int, HW: int, cins: tuple,
+          Cout: int, interpret: bool, in_dts: tuple, out_dt: str):
     ge = _spike_ge(kind)
     blk = _hw_block(HW)
+    n = len(cins)
 
-    def fn(x3, a32, w_oc, bias):
-        B = x3.shape[-1] // T
+    def fn(a32, bias, *wx):
+        TB = wx[n].shape[-1]
+        B = TB // T
         return pl.pallas_call(
-            partial(_kernel, T=T, B=B, thresh=thresh, ge=ge),
+            partial(_kernel, T=T, B=B, thresh=thresh, ge=ge, n=n),
             out_shape=jax.ShapeDtypeStruct(
-                (HW, Cout, x3.shape[-1]), jnp.dtype(out_dt)
+                (HW, Cout, TB), jnp.dtype(out_dt)
             ),
             grid=(HW // blk,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((Cout, Cin), lambda i: (0, 0)),
                 pl.BlockSpec((Cout, 1), lambda i: (0, 0)),
-                pl.BlockSpec((blk, Cin, x3.shape[-1]), lambda i: (i, 0, 0)),
+            ] + [
+                pl.BlockSpec((Cout, c), lambda i: (0, 0)) for c in cins
+            ] + [
+                pl.BlockSpec((blk, c, TB), lambda i: (i, 0, 0))
+                for c in cins
             ],
             out_specs=pl.BlockSpec(
-                (blk, Cout, x3.shape[-1]), lambda i: (i, 0, 0)
+                (blk, Cout, TB), lambda i: (i, 0, 0)
             ),
             interpret=interpret,
-        )(a32, w_oc, bias, x3)
+        )(a32, bias, *wx)
 
     return fn
 
@@ -165,20 +195,32 @@ def conv1x1_plif_fused(
       w_plif: PLIF decay logit (scalar); a = 1 - sigmoid(w) outside, f32.
       out_dtype: jnp.int8 for spike storage (bit-lossless — spikes are 0/1).
 
+    ``x_tb`` may also be a tuple of (T*B, H, W, C_j) tensors — a virtual
+    channel-concat (``w_oc`` has C_in = sum C_j, ordered like the concat):
+    the kernel sums one MXU dot per input, so the concatenated tensor is
+    never materialized in HBM (CSP conv3 / SPP conv2 sites,
+    reference network_blocks.py:146,187).
+
     Returns (T*B, H, W, C_out) spikes in ``out_dtype``.
     """
-    TB, H, W, Cin = x_tb.shape
+    xs = x_tb if isinstance(x_tb, (tuple, list)) else (x_tb,)
+    TB, H, W = xs[0].shape[:3]
+    cins = tuple(x.shape[3] for x in xs)
     Cout = w_oc.shape[0]
     a = (1.0 - jax.nn.sigmoid(w_plif.astype(jnp.float32))).reshape(1)
-    x3 = x_tb.transpose(1, 2, 3, 0).reshape(H * W, Cin, TB)
+    x3s = [x.transpose(1, 2, 3, 0).reshape(H * W, c, TB)
+           for x, c in zip(xs, cins)]
     fn = _make(
-        spike_fn, float(thresh), int(T), H * W, Cin, Cout, interpret,
-        jnp.dtype(x_tb.dtype).name, jnp.dtype(out_dtype).name,
+        spike_fn, float(thresh), int(T), H * W, cins, Cout, interpret,
+        tuple(jnp.dtype(x.dtype).name for x in xs),
+        jnp.dtype(out_dtype).name,
     )
     # Multiplies in bf16 (matching the XLA conv's default TPU precision),
     # accumulate in f32.
-    s3 = fn(x3, a, w_oc.astype(jnp.bfloat16), bias.reshape(-1, 1)
-            .astype(jnp.float32))
+    offs = np.cumsum((0,) + cins)
+    w16 = w_oc.astype(jnp.bfloat16)
+    wjs = [w16[:, offs[j]:offs[j + 1]] for j in range(len(cins))]
+    s3 = fn(a, bias.reshape(-1, 1).astype(jnp.float32), *wjs, *x3s)
     return s3.reshape(H, W, Cout, TB).transpose(3, 0, 1, 2)
 
 
@@ -404,17 +446,25 @@ def conv1x1_plif_reference(
     x_tb, w_oc, bias, T, w_plif, *, thresh=1.0, spike_fn="atan",
     out_dtype=jnp.int8,
 ):
-    """Pure-JAX mirror of the fused kernel (same dtypes/order per step) —
-    the PLIF fallback on non-TPU backends and the equivalence oracle in
+    """Pure-JAX mirror of the fused kernel (same dtypes/order per step,
+    incl. one dot per input of a virtual concat) — the PLIF fallback on
+    non-TPU backends and the equivalence oracle in
     tests/test_conv_plif_pallas.py."""
     ge = _spike_ge(spike_fn)
-    TB = x_tb.shape[0]
+    xs = x_tb if isinstance(x_tb, (tuple, list)) else (x_tb,)
+    TB = xs[0].shape[0]
     B = TB // T
-    acc = jax.lax.dot_general(
-        x_tb.astype(jnp.bfloat16), w_oc.astype(jnp.bfloat16),
-        (((3,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + bias.astype(jnp.float32)                       # (TB, H, W, Cout)
+    w16 = w_oc.astype(jnp.bfloat16)
+    acc = bias.astype(jnp.float32)
+    off = 0
+    for x in xs:
+        c = x.shape[3]
+        acc = acc + jax.lax.dot_general(
+            x.astype(jnp.bfloat16), w16[:, off:off + c],
+            (((3,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                              # (TB, H, W, Cout)
+        off += c
     a = 1.0 - jax.nn.sigmoid(w_plif.astype(jnp.float32))
     xs = acc.reshape((T, B) + acc.shape[1:])
     v = jnp.zeros_like(xs[0])

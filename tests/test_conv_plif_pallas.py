@@ -72,6 +72,54 @@ class TestKernelVsReference:
         )
 
 
+class TestMultiInputVirtualConcat:
+    """Tuple input = unmaterialized channel concat: one MXU dot per piece."""
+
+    def test_bitwise_vs_reference_and_concat(self):
+        H, W = 4, 4
+        cs = (16, 8, 8)
+        Cout = 24
+        xs = tuple(
+            _spikes(30 + j, (TB, H, W, c), jnp.int8) for j, c in enumerate(cs)
+        )
+        w_oc = _quarters(33, (Cout, sum(cs)))
+        bias = _quarters(34, (Cout,))
+        wp = jnp.asarray(-1.1, jnp.float32)
+        shapes = tuple(x.shape for x in xs)
+        dts = tuple(x.dtype for x in xs)
+        assert conv1x1_plif_supported(shapes, T, Cout, dts)
+        y = conv1x1_plif_fused(
+            xs, w_oc, bias, T, wp, interpret=True, out_dtype=jnp.int8
+        )
+        ref = conv1x1_plif_reference(xs, w_oc, bias, T, wp,
+                                     out_dtype=jnp.int8)
+        np.testing.assert_array_equal(np.asarray(y), np.asarray(ref))
+        # quarter weights + 0/1 inputs: exact arithmetic, so the virtual
+        # concat must equal the materialized one bitwise
+        xcat = jnp.concatenate(xs, axis=-1)
+        ycat = conv1x1_plif_fused(
+            xcat, w_oc, bias, T, wp, interpret=True, out_dtype=jnp.int8
+        )
+        np.testing.assert_array_equal(np.asarray(y), np.asarray(ycat))
+
+    def test_csplayer_tuple_input_matches_concat(self):
+        """CSPLayer/BaseConv accept tuple inputs on the plain (unfused)
+        path with identical semantics to a pre-concatenated input."""
+        from eas_snn_tpu.models.blocks import CSPLayer, NeuronCfg
+
+        layer = CSPLayer(
+            16, n=1, neuron=NeuronCfg.snn(T), dtype=jnp.float32
+        )
+        a = _spikes(40, (TB, 4, 4, 8), jnp.float32)
+        b = _spikes(41, (TB, 4, 4, 8), jnp.float32)
+        v = layer.init(jax.random.PRNGKey(0), (a, b), True)
+        y_t = layer.apply(v, (a, b), False)
+        y_c = layer.apply(v, jnp.concatenate([a, b], -1), False)
+        np.testing.assert_array_equal(
+            np.asarray(y_t, np.float32), np.asarray(y_c, np.float32)
+        )
+
+
 class TestKernel3x3VsReference:
     @pytest.mark.parametrize("in_dt", [jnp.int8, jnp.bfloat16])
     @pytest.mark.parametrize(
