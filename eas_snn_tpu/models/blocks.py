@@ -115,20 +115,26 @@ class PLIF(nn.Module):
             # spikes, int8 at eval), and the preact never touches HBM.
             from ..ops import conv_plif_pallas as cpp
 
-            w_mat, bias_eff, float_dt = (
-                conv1x1 if conv1x1 is not None else conv3x3
-            )
-            c_out = w_mat.shape[0] if conv1x1 is not None else w_mat.shape[1]
+            if conv1x1 is not None:
+                w_mat, bias_eff, float_dt = conv1x1
+                c_out = w_mat.shape[0]
+                fused, ref, sup = (
+                    cpp.conv1x1_plif_fused, cpp.conv1x1_plif_reference,
+                    cpp.conv1x1_plif_supported,
+                )
+            else:
+                w_mat, bias_eff, float_dt, stride = conv3x3
+                c_out = w_mat.shape[1]
+                fused, ref, sup = (
+                    (cpp.conv3x3_plif_fused, cpp.conv3x3_plif_reference,
+                     cpp.conv3x3_plif_supported)
+                    if stride == 1 else
+                    (cpp.conv3x3s2_plif_fused, cpp.conv3x3s2_plif_reference,
+                     cpp.conv3x3s2_plif_supported)
+                )
             out_dt = jnp.int8 if self.eval_store == "int8" else float_dt
             kw = dict(thresh=self.thresh, spike_fn=self.spike_fn,
                       out_dtype=out_dt)
-            fused, ref, sup = (
-                (cpp.conv1x1_plif_fused, cpp.conv1x1_plif_reference,
-                 cpp.conv1x1_plif_supported)
-                if conv1x1 is not None else
-                (cpp.conv3x3_plif_fused, cpp.conv3x3_plif_reference,
-                 cpp.conv3x3_plif_supported)
-            )
             if isinstance(x, (tuple, list)):  # virtual concat (1x1 only)
                 shapes = tuple(t.shape for t in x)
                 dts = tuple(t.dtype for t in x)
@@ -249,7 +255,9 @@ class BaseConv(nn.Module):
         every param is created)."""
         if train or not self.neuron.spiking or self.is_initializing():
             return False
-        if self.ksize not in (1, 3) or self.stride != 1 or self.groups != 1:
+        if self.ksize not in (1, 3) or self.groups != 1:
+            return False
+        if self.stride not in (1, 2) or (self.ksize, self.stride) == (1, 2):
             return False
         # A/B escape hatch (read at trace time): "0" disables whole-site
         # fusion, "1x1"/"3x3" restricts it to one kernel size.
@@ -270,7 +278,8 @@ class BaseConv(nn.Module):
             )
         else:
             sup = (cpp.conv1x1_plif_supported if self.ksize == 1
-                   else cpp.conv3x3_plif_supported)
+                   else (cpp.conv3x3_plif_supported if self.stride == 1
+                         else cpp.conv3x3s2_plif_supported))
             ok = sup(x0.shape, self.neuron.T, self.out_channels, x0.dtype)
         if not ok:
             return False
@@ -334,7 +343,10 @@ class BaseConv(nn.Module):
             from ..ops.conv_plif_pallas import fold_conv3x3
 
             w3 = fold_conv3x3(wk, mul)
-            return act(x0, train, conv3x3=(w3, bias_eff, self.dtype))
+            return act(
+                x0, train,
+                conv3x3=(w3, bias_eff, self.dtype, self.stride),
+            )
         x = nn.Conv(
             self.out_channels,
             (self.ksize, self.ksize),

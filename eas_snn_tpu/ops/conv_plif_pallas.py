@@ -442,6 +442,202 @@ def conv3x3_plif_reference(
     return jnp.stack(outs).reshape((TB,) + acc.shape[1:])
 
 
+# ---------------------------------------------------------------------------
+# 3x3 stride-2 variant (stage downsample convs, darknet.py dark2..dark5)
+# ---------------------------------------------------------------------------
+#
+# Output pixel (h, w) taps input rows 2h+dy-1 and cols 2w+dx-1. A grid
+# block of ho_blk output rows needs input rows [2*ho0-1, 2*ho0+2*ho_blk-1]
+# — the aligned center block plus ONE slim row above it. Everything else
+# (slab assembly, per-pixel dots, in-VMEM recurrence) matches the
+# stride-1 kernel.
+
+
+def _ho_block(Ho: int) -> int:
+    for cand in (4, 2, 1):
+        if Ho % cand == 0:
+            return cand
+    return 1
+
+
+def conv3x3s2_plif_supported(shape4, T: int, c_out: int, dtype) -> bool:
+    if len(shape4) != 4:
+        return False
+    if jnp.dtype(dtype) not in (
+        jnp.dtype(jnp.int8), jnp.dtype(jnp.bfloat16), jnp.dtype(jnp.float32)
+    ):
+        return False
+    TB, H, W, C = shape4
+    if H % 2 or W % 2:
+        return False
+    if TB % T or (TB // T) % _LANE or C % 8 or c_out % 8:
+        return False
+    Ho, Wo = H // 2, W // 2
+    hb = _ho_block(Ho)
+    isz = jnp.dtype(dtype).itemsize
+    est = (
+        (2 * hb + 1) * (W + 2) * C * TB * isz      # padded slab scratch
+        + 2 * 2 * hb * W * C * TB * isz            # center blocks
+        + 2 * W * C * TB * isz                     # slim halo block
+        + 2 * hb * Wo * c_out * TB                 # int8 out blocks
+        + 2 * c_out * TB * 4
+        + 3 * c_out * 3 * C * 2 + c_out * 4
+    )
+    return est < 80 * 1024 * 1024
+
+
+def _kernel3s2(a_ref, w_ref, b_ref, xc_ref, xp_ref, o_ref, pad_ref,
+               *, T, B, thresh, ge, ho_blk, W, Wo):
+    i = pl.program_id(0)
+    a = a_ref[0]
+    b = b_ref[...].astype(jnp.float32)
+
+    # slab rows: 0 = input row 2*ho0-1 (slim, zero at the top border),
+    # 1..2*ho_blk = the aligned center block. Columns shifted by +1 with
+    # zero borders at 0 and W+1 (the right border col W+1 covers dx=+1 at
+    # w = Wo-1, input col 2*(Wo-1)+1+1 = W -> slab W+1).
+    zcol = jnp.zeros(
+        (pad_ref.shape[0],) + pad_ref.shape[2:], pad_ref.dtype
+    )
+    pad_ref[:, 0] = zcol
+    pad_ref[:, W + 1] = zcol
+    pad_ref[0, 1:W + 1] = xp_ref[0]
+    for h in range(2 * ho_blk):
+        pad_ref[h + 1, 1:W + 1] = xc_ref[h]
+
+    @pl.when(i == 0)
+    def _top():
+        pad_ref[0] = jnp.zeros(pad_ref.shape[1:], pad_ref.dtype)
+
+    Cout = o_ref.shape[2]
+    f32 = jnp.float32
+
+    for h in range(ho_blk):
+
+        def wbody(wi, _, h=h):
+            acc = jnp.zeros((Cout, xc_ref.shape[-1]), f32) + b
+            for dy in range(3):
+                # input row 2*(ho0+h)+dy-1 -> slab row 2h+dy; input col
+                # 2w+dx-1 -> slab col 2w+dx
+                xs = pad_ref[2 * h + dy, pl.dslice(2 * wi, 3)]
+                xs = xs.reshape(-1, xs.shape[-1])
+                acc = acc + jax.lax.dot_general(
+                    w_ref[dy], xs.astype(w_ref.dtype),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32,
+                )
+            v = jnp.zeros((Cout, B), f32)
+            for t in range(T):
+                v = v * a + acc[:, t * B:(t + 1) * B]
+                d = v - thresh
+                sp = (d >= 0 if ge else d > 0)
+                o_ref[h, pl.dslice(wi, 1), :, t * B:(t + 1) * B] = (
+                    sp.astype(o_ref.dtype)[None]
+                )
+                v = v - thresh * sp.astype(f32)
+            return 0
+
+        jax.lax.fori_loop(0, Wo, wbody, 0)
+
+
+@lru_cache(maxsize=None)
+def _make3s2(kind: str, thresh: float, T: int, H: int, W: int, Cin: int,
+             Cout: int, interpret: bool, in_dt: str, out_dt: str):
+    ge = _spike_ge(kind)
+    Ho, Wo = H // 2, W // 2
+    hb = _ho_block(Ho)
+    nb = Ho // hb
+
+    def fn(x4v, a32, w3, bias):
+        TB = x4v.shape[-1]
+        B = TB // T
+        return pl.pallas_call(
+            partial(_kernel3s2, T=T, B=B, thresh=thresh, ge=ge, ho_blk=hb,
+                    W=W, Wo=Wo),
+            out_shape=jax.ShapeDtypeStruct(
+                (Ho, Wo, Cout, TB), jnp.dtype(out_dt)
+            ),
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((3, Cout, 3 * Cin), lambda i: (0, 0, 0)),
+                pl.BlockSpec((Cout, 1), lambda i: (0, 0)),
+                pl.BlockSpec((2 * hb, W, Cin, TB), lambda i: (i, 0, 0, 0)),
+                pl.BlockSpec(
+                    (1, W, Cin, TB),
+                    lambda i: (jnp.maximum(2 * hb * i - 1, 0), 0, 0, 0),
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (hb, Wo, Cout, TB), lambda i: (i, 0, 0, 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2 * hb + 1, W + 2, Cin, TB), jnp.dtype(in_dt)),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(a32, w3, bias, x4v, x4v)
+
+    return fn
+
+
+def conv3x3s2_plif_fused(
+    x_tb: jnp.ndarray,
+    w3: jnp.ndarray,
+    bias: jnp.ndarray,
+    T: int,
+    w_plif: jnp.ndarray,
+    *,
+    thresh: float = 1.0,
+    spike_fn: str = "atan",
+    out_dtype=jnp.int8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused eval-time 3x3/stride-2 conv + folded BN + PLIF.
+    Weights from :func:`fold_conv3x3`. Returns (T*B, H/2, W/2, C_out)."""
+    TB, H, W, Cin = x_tb.shape
+    a = (1.0 - jax.nn.sigmoid(w_plif.astype(jnp.float32))).reshape(1)
+    x4v = x_tb.transpose(1, 2, 3, 0)
+    fn = _make3s2(
+        spike_fn, float(thresh), int(T), H, W, Cin, w3.shape[1], interpret,
+        jnp.dtype(x_tb.dtype).name, jnp.dtype(out_dtype).name,
+    )
+    s4 = fn(x4v, a, w3.astype(jnp.bfloat16),
+            bias.reshape(-1, 1).astype(jnp.float32))
+    return s4.transpose(3, 0, 1, 2)
+
+
+def conv3x3s2_plif_reference(
+    x_tb, w3, bias, T, w_plif, *, thresh=1.0, spike_fn="atan",
+    out_dtype=jnp.int8,
+):
+    """Pure-JAX mirror of the stride-2 kernel (SAME padding, torch/flax
+    stride-2 window alignment: output (h, w) taps input 2h+dy-1)."""
+    ge = _spike_ge(spike_fn)
+    TB = x_tb.shape[0]
+    Cout = w3.shape[1]
+    B = TB // T
+    k = w3.reshape(3, Cout, 3, -1).transpose(0, 2, 3, 1)
+    acc = jax.lax.conv_general_dilated(
+        x_tb.astype(jnp.bfloat16), k.astype(jnp.bfloat16), (2, 2),
+        [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ) + bias.astype(jnp.float32)
+    a = 1.0 - jax.nn.sigmoid(w_plif.astype(jnp.float32))
+    xs = acc.reshape((T, B) + acc.shape[1:])
+    v = jnp.zeros_like(xs[0])
+    outs = []
+    for t in range(T):
+        v = v * a + xs[t]
+        d = v - thresh
+        sp = (d >= 0 if ge else d > 0)
+        outs.append(sp.astype(out_dtype))
+        v = v - thresh * sp.astype(jnp.float32)
+    return jnp.stack(outs).reshape((TB,) + acc.shape[1:])
+
+
 def conv1x1_plif_reference(
     x_tb, w_oc, bias, T, w_plif, *, thresh=1.0, spike_fn="atan",
     out_dtype=jnp.int8,

@@ -226,6 +226,76 @@ def test_baseconv_3x3_wiring(monkeypatch):
     np.testing.assert_array_equal(np.asarray(y), np.asarray(ref))
 
 
+class TestKernel3x3Stride2VsReference:
+    @pytest.mark.parametrize("in_dt", [jnp.int8, jnp.bfloat16])
+    @pytest.mark.parametrize(
+        # Ho=8 -> ho_blk=4, 2 grid blocks: exercises the cross-block slim
+        # halo row, not just the zeroed top border
+        "hwc", [(8, 6, 16, 48), (16, 8, 8, 16)]
+    )
+    def test_bitwise(self, in_dt, hwc):
+        from eas_snn_tpu.ops.conv_plif_pallas import (
+            conv3x3s2_plif_fused,
+            conv3x3s2_plif_reference,
+            conv3x3s2_plif_supported,
+            fold_conv3x3,
+        )
+
+        H, W, Cin, Cout = hwc
+        x = _spikes(50, (TB, H, W, Cin), in_dt)
+        k = _quarters(51, (3, 3, Cin, Cout))
+        mul = _quarters(52, (Cout,)) + 2.0
+        w3 = fold_conv3x3(k, mul)
+        bias = _quarters(53, (Cout,))
+        wp = jnp.asarray(-1.1, jnp.float32)
+        assert conv3x3s2_plif_supported(x.shape, T, Cout, x.dtype)
+        y = conv3x3s2_plif_fused(
+            x, w3, bias, T, wp, interpret=True, out_dtype=jnp.int8
+        )
+        ref = conv3x3s2_plif_reference(
+            x, w3, bias, T, wp, out_dtype=jnp.int8
+        )
+        assert y.shape == (TB, H // 2, W // 2, Cout)
+        np.testing.assert_array_equal(np.asarray(y), np.asarray(ref))
+        assert 0.05 < np.asarray(ref, np.float32).mean() < 0.95
+
+    def test_baseconv_s2_wiring(self, monkeypatch):
+        import eas_snn_tpu.ops.conv_plif_pallas as cpp
+        from eas_snn_tpu.models.blocks import BaseConv, NeuronCfg
+
+        Cin, Cout = 16, 24
+        conv = BaseConv(
+            Cout, 3, 2, act="silu", neuron=NeuronCfg.snn(T),
+            dtype=jnp.bfloat16,
+        )
+        x = _spikes(54, (TB, 8, 8, Cin), jnp.int8)
+        v = conv.init(jax.random.PRNGKey(0), x.astype(jnp.bfloat16), True)
+        v = jax.tree_util.tree_map(
+            lambda l: l + 0.25 if l.ndim == 1 and l.shape[0] == Cout else l,
+            v,
+        )
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        real = cpp.conv3x3s2_plif_fused
+        monkeypatch.setattr(
+            cpp, "conv3x3s2_plif_fused",
+            lambda *a, **k: real(*a, **{**k, "interpret": True}),
+        )
+        y = conv.apply(v, x, False)
+        assert y.dtype == jnp.int8 and y.shape == (TB, 4, 4, Cout)
+
+        scale = v["params"]["bn"]["scale"]
+        beta = v["params"]["bn"]["bias"]
+        mean = v["batch_stats"]["bn"]["mean"]
+        var = v["batch_stats"]["bn"]["var"]
+        mul = jax.lax.rsqrt(var + 1e-3) * scale
+        w3 = cpp.fold_conv3x3(v["params"]["conv"]["kernel"], mul)
+        ref = cpp.conv3x3s2_plif_reference(
+            x, w3, beta - mean * mul, T, v["params"]["PLIF_0"]["w"],
+            out_dtype=jnp.int8,
+        )
+        np.testing.assert_array_equal(np.asarray(y), np.asarray(ref))
+
+
 def test_flagship_composition_engages_fusion(monkeypatch):
     """In the real EASYOLOX eval forward (spiking backbone), the whole-site
     fusion engages at both 1x1 and 3x3 stride-1 spiking sites, and the
@@ -244,29 +314,31 @@ def test_flagship_composition_engages_fusion(monkeypatch):
     )
     v = model.init(jax.random.PRNGKey(0), events[:1], train=False)
 
-    calls = {"1x1": 0, "3x3": 0}
+    calls = {"1x1": 0, "3x3": 0, "3x3s2": 0}
 
-    def wrap1(*a, **k):
-        calls["1x1"] += 1
-        return cpp.conv1x1_plif_reference(*a[:5], **{
-            kk: vv for kk, vv in k.items() if kk != "interpret"})
-
-    def wrap3(*a, **k):
-        calls["3x3"] += 1
-        return cpp.conv3x3_plif_reference(*a[:5], **{
-            kk: vv for kk, vv in k.items() if kk != "interpret"})
+    def wrap(key, ref):
+        def f(*a, **k):
+            calls[key] += 1
+            return ref(*a[:5], **{
+                kk: vv for kk, vv in k.items() if kk != "interpret"})
+        return f
 
     import eas_snn_tpu.ops.plif_pallas as pp
 
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
-    monkeypatch.setattr(cpp, "conv1x1_plif_fused", wrap1)
-    monkeypatch.setattr(cpp, "conv3x3_plif_fused", wrap3)
-    # non-fusable sites (stride-2 convs) would otherwise hit the real
-    # plain-PLIF Pallas kernel, which cannot run on CPU
+    monkeypatch.setattr(cpp, "conv1x1_plif_fused",
+                        wrap("1x1", cpp.conv1x1_plif_reference))
+    monkeypatch.setattr(cpp, "conv3x3_plif_fused",
+                        wrap("3x3", cpp.conv3x3_plif_reference))
+    monkeypatch.setattr(cpp, "conv3x3s2_plif_fused",
+                        wrap("3x3s2", cpp.conv3x3s2_plif_reference))
+    # any remaining plain-PLIF site would otherwise hit the real Pallas
+    # kernel, which cannot run on CPU
     monkeypatch.setattr(pp, "plif_fused_supported", lambda *a: False)
     out = model.apply(v, events, train=False)
     assert calls["1x1"] >= 8, calls   # CSP conv1/2/3 + bottleneck/SPP/FPN
     assert calls["3x3"] >= 3, calls   # bottleneck conv2 sites
+    assert calls["3x3s2"] >= 3, calls  # stage downsample convs
     arr = np.asarray(out, np.float32)
     assert np.isfinite(arr).all() and arr.shape[0] == B
 
