@@ -63,9 +63,23 @@ def main():
         return out, out.sum()
 
     # warmup/compile + result materialization (block_until_ready alone is
-    # not sufficient on relayed backends)
-    _, s = fwd(variables, batches[0])
-    float(s)
+    # not sufficient on relayed backends). If the whole-site fused
+    # conv+BN+PLIF kernels fail to compile on this backend, fall back to
+    # the proven plain-PLIF path rather than losing the benchmark.
+    try:
+        _, s = fwd(variables, batches[0])
+        float(s)
+    except Exception as e:  # pragma: no cover - backend-specific safety
+        print(f"# fused-site path failed ({type(e).__name__}); "
+              "retrying with EAS_CONV_PLIF_FUSE=0", flush=True)
+        os.environ["EAS_CONV_PLIF_FUSE"] = "0"
+        fwd = jax.jit(
+            lambda v, e: (lambda o: (o, o.sum()))(
+                model.apply(v, e, train=False)
+            )
+        )
+        _, s = fwd(variables, batches[0])
+        float(s)
 
     fps = pipelined_fps(
         lambda e: fwd(variables, e), batches, B, n_iters=12, rounds=3
