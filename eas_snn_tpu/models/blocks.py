@@ -266,6 +266,12 @@ class BaseConv(nn.Module):
         pol = os.environ.get("EAS_CONV_PLIF_FUSE", "1")
         if pol == "0" or (pol in ("1x1", "3x3") and pol != f"{self.ksize}x{self.ksize}"):
             return False
+        # per-geometry tuning: the kernel's MXU efficiency grows with
+        # channel count; sites below this C_out stay on the XLA chain
+        if self.out_channels < int(
+            os.environ.get("EAS_CONV_PLIF_MIN_COUT", "0")
+        ):
+            return False
         from ..ops import conv_plif_pallas as cpp
 
         if isinstance(x0, (tuple, list)):
