@@ -259,18 +259,17 @@ class BaseConv(nn.Module):
             return False
         if self.stride not in (1, 2) or (self.ksize, self.stride) == (1, 2):
             return False
-        # A/B escape hatch (read at trace time): "0" disables whole-site
-        # fusion, "1x1"/"3x3" restricts it to one kernel size.
-        import os
+        # Engagement is decided per geometry by the MEASURED policy table
+        # (ops/conv_plif_policy.py — fusing everything was a wash at the
+        # backbone level; per-site selection is the optimum). Env
+        # EAS_CONV_PLIF_FUSE overrides: 'auto' (table) | '0' | '1' |
+        # '1x1' | '3x3'.
+        from ..ops.conv_plif_policy import should_fuse
 
-        pol = os.environ.get("EAS_CONV_PLIF_FUSE", "1")
-        if pol == "0" or (pol in ("1x1", "3x3") and pol != f"{self.ksize}x{self.ksize}"):
-            return False
-        # per-geometry tuning: the kernel's MXU efficiency grows with
-        # channel count; sites below this C_out stay on the XLA chain
-        if self.out_channels < int(
-            os.environ.get("EAS_CONV_PLIF_MIN_COUT", "0")
-        ):
+        shapes0 = (tuple(t.shape for t in x0)
+                   if isinstance(x0, (tuple, list)) else x0.shape)
+        if not should_fuse(self.ksize, self.stride, shapes0,
+                           self.out_channels):
             return False
         from ..ops import conv_plif_pallas as cpp
 

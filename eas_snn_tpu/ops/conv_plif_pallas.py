@@ -167,6 +167,9 @@ def _make(kind: str, thresh: float, T: int, HW: int, cins: tuple,
             out_specs=pl.BlockSpec(
                 (blk, Cout, TB), lambda i: (i, 0, 0)
             ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
             interpret=interpret,
         )(a32, bias, *wx)
 

@@ -205,6 +205,7 @@ def test_baseconv_3x3_wiring(monkeypatch):
         lambda l: l + 0.25 if l.ndim == 1 and l.shape[0] == Cout else l, v
     )
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setenv("EAS_CONV_PLIF_FUSE", "1")
     real = cpp.conv3x3_plif_fused
     monkeypatch.setattr(
         cpp, "conv3x3_plif_fused",
@@ -275,6 +276,7 @@ class TestKernel3x3Stride2VsReference:
             v,
         )
         monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        monkeypatch.setenv("EAS_CONV_PLIF_FUSE", "1")
         real = cpp.conv3x3s2_plif_fused
         monkeypatch.setattr(
             cpp, "conv3x3s2_plif_fused",
@@ -326,6 +328,8 @@ def test_flagship_composition_engages_fusion(monkeypatch):
     import eas_snn_tpu.ops.plif_pallas as pp
 
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    monkeypatch.setenv("EAS_CONV_PLIF_FUSE", "1")
     monkeypatch.setattr(cpp, "conv1x1_plif_fused",
                         wrap("1x1", cpp.conv1x1_plif_reference))
     monkeypatch.setattr(cpp, "conv3x3_plif_fused",
@@ -375,6 +379,7 @@ class TestBaseConvWiring:
 
         conv, v, x = self._mk()
         monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        monkeypatch.setenv("EAS_CONV_PLIF_FUSE", "1")
         real = cpp.conv1x1_plif_fused
         monkeypatch.setattr(
             cpp, "conv1x1_plif_fused",
@@ -405,6 +410,8 @@ class TestBaseConvWiring:
         y_plain = conv.apply(v, x.astype(jnp.bfloat16), False)
 
         monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+        monkeypatch.setenv("EAS_CONV_PLIF_FUSE", "1")
         real = cpp.conv1x1_plif_fused
         monkeypatch.setattr(
             cpp, "conv1x1_plif_fused",
@@ -427,3 +434,43 @@ class TestBaseConvWiring:
             v, x.astype(jnp.bfloat16), True, mutable=["batch_stats"]
         )
         assert y.shape == (TB, 4, 4, 48)
+
+
+class TestEngagementPolicy:
+    """The measured per-geometry policy (ops/conv_plif_policy.py)."""
+
+    def test_auto_matches_measured_table(self, monkeypatch):
+        from eas_snn_tpu.ops.conv_plif_policy import should_fuse
+
+        monkeypatch.setenv("EAS_CONV_PLIF_FUSE", "auto")
+        TB128 = 3 * 128
+        # decisive winners from tools/bench_conv_plif_sites.py
+        assert should_fuse(1, 1, (TB128, 64, 80, 96), 48)
+        assert should_fuse(
+            1, 1, ((TB128, 64, 80, 48), (TB128, 64, 80, 48)), 96
+        )
+        assert should_fuse(3, 1, (TB128, 32, 40, 96), 96)
+        assert should_fuse(1, 1, (TB128, 16, 20, 384), 192)
+        # decisive losers / noise sites stay unfused
+        assert not should_fuse(3, 1, (TB128, 128, 160, 8), 48)    # stem
+        assert not should_fuse(1, 1, (TB128, 64, 80, 48), 48)     # m.conv1
+        assert not should_fuse(3, 1, (TB128, 64, 80, 48), 48)     # m.conv2
+        assert not should_fuse(1, 1, (TB128, 32, 40, 192), 96)    # d3 conv12
+        assert not should_fuse(1, 1, (TB128, 8, 10, 768), 384)    # noise
+        # unknown geometry defaults off
+        assert not should_fuse(1, 1, (TB128, 100, 100, 512), 512)
+
+    def test_env_overrides(self, monkeypatch):
+        from eas_snn_tpu.ops.conv_plif_policy import should_fuse
+
+        site = (3 * 128, 100, 100, 512)
+        monkeypatch.setenv("EAS_CONV_PLIF_FUSE", "1")
+        assert should_fuse(1, 1, site, 512) and should_fuse(3, 1, site, 512)
+        monkeypatch.setenv("EAS_CONV_PLIF_FUSE", "0")
+        assert not should_fuse(1, 1, (3 * 128, 64, 80, 96), 48)
+        monkeypatch.setenv("EAS_CONV_PLIF_FUSE", "1x1")
+        assert should_fuse(1, 1, site, 512)
+        assert not should_fuse(3, 1, site, 512)
+        monkeypatch.setenv("EAS_CONV_PLIF_FUSE", "3x3")
+        assert should_fuse(3, 2, site, 512)
+        assert not should_fuse(1, 1, site, 512)

@@ -121,7 +121,11 @@ def bench_train(B, remat=False):
     # device throughput) — chain K steps inside ONE jit via lax.scan.
     # The scan length MUST match the divisor below: cycle the available
     # batches up to K so `n_iters * K` counts exactly the steps executed.
-    K = 4
+    # K steps in one jit amortize the relay RTT; at B>=256 a step is long
+    # enough (~0.7 s) that K=2 suffices — and the stacked f32 input
+    # batches are ~0.7 GB each, which is exactly the HBM margin at the
+    # batch-256 remat config (it OOM'd by 40 MB with K=4).
+    K = 4 if B <= 128 else 2
     evK = jnp.stack([batches[i % len(batches)] for i in range(K)])
 
     @jax.jit
