@@ -43,9 +43,14 @@ def main():
     # WHOLE model incl. the recurrent sampler state in fp16) — and is
     # strictly more conservative than it: membrane arithmetic in our
     # kernels stays f32, only the stored carries are bf16.
+    # packed="auto": the sampler's C=2 5x5 stencils run as 4x4
+    # space-to-depth packed 3x3 convs (ops/pack.py) — measured 9.1 ms vs
+    # 15.6 unpacked at this geometry (the convs, not scan barriers, bound
+    # the sampler). Same math, weights transformed by a differentiable
+    # gather; float association differs (protocol-fair, like bf16 state).
     model = _build_model(
         depth=0.67, width=0.75, T=T, Ts=Ts, Tm=Tm, compute_dtype="bfloat16",
-        state_dtype="bfloat16",
+        state_dtype="bfloat16", packed="auto",
     )
 
     from eas_snn_tpu.utils.benchmarks import device_batches, pipelined_fps

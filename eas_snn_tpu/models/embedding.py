@@ -276,12 +276,17 @@ class ARSNNEmbedding(nn.Module):
     # per-step jax.checkpoint inside the sampler scan (see ops/arsnn.py);
     # forward-identical, backward recomputes step internals from carries
     remat: bool = False
-    # 'never' | 'auto': run the ENTIRE scan in 8x8 space-to-depth packed
-    # layout (ops/pack.py) — C=2 stencils become full-lane 128->256-channel
-    # 3x3 convs and every elementwise neuron-state op drops the ~64x
-    # channel-lane padding tax. Exactly the same math (weights transformed
-    # by a differentiable gather), float-association differs.
+    # 'never' | 'auto': run the ENTIRE scan in space-to-depth packed
+    # layout (ops/pack.py) — the C=2 5x5 stencils become packed-channel
+    # 3x3 convs on the MXU. Exactly the same math (weights transformed by
+    # a differentiable gather), float-association differs.
     packed: str = "never"
+    # Packing block. Measured on a v5e at flagship geometry (B=128, bf16
+    # state, Tm=4): blk=4 is the sweet spot — 9.1 ms vs 15.6 unpacked vs
+    # 15.9 at blk=8 vs 9.9 at blk=2. blk=8 inflates the tap count 10.2x
+    # (16x16 covered area / 25 true taps) which cancels its full-lane MXU
+    # utilization; blk=4 inflates only 2.56x at K=128-deep dots.
+    packed_block: int = 4
 
     @nn.compact
     def __call__(self, events: jnp.ndarray, record: bool = False,
@@ -324,9 +329,10 @@ class ARSNNEmbedding(nn.Module):
         if (
             self.packed == "auto"
             and not record
-            and packable(ev.shape[2], ev.shape[3], self.ksize, 8)
+            and packable(ev.shape[2], ev.shape[3], self.ksize,
+                         self.packed_block)
         ):
-            blk = 8
+            blk = self.packed_block
             ev_p = space_to_depth(ev, blk)
             kw_p = dict(kw)
             agg_p = arsnn_scan(

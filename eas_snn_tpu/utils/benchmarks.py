@@ -24,14 +24,17 @@ __all__ = ["V5E_BF16_PEAK", "device_batches", "pipelined_fps"]
 V5E_BF16_PEAK = 197e12
 
 
-def device_batches(shape, n: int = 3, seed: int = 0, lam: float = 0.2):
+def device_batches(shape, n: int = 3, seed: int = 0, lam: float = 0.2,
+                   dtype=None):
     """n distinct Poisson event batches generated on device (so no relay
-    layer can elide repeated identical executions)."""
+    layer can elide repeated identical executions). ``dtype`` defaults to
+    f32; bf16 halves bench-input HBM (counts <=256 are exact in bf16)."""
     import jax
     import jax.numpy as jnp
 
+    dtype = dtype or jnp.float32
     gen = jax.jit(
-        lambda k: jax.random.poisson(k, lam, shape).astype(jnp.float32)
+        lambda k: jax.random.poisson(k, lam, shape).astype(dtype)
     )
     out = [gen(jax.random.PRNGKey(seed * 100 + i)) for i in range(n)]
     for b in out:

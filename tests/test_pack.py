@@ -33,7 +33,11 @@ class TestPackPrimitives:
         assert p.shape == (2, 2, 3, 8 * 8 * 3)
         np.testing.assert_array_equal(depth_to_space(p, 8, 3), x)
 
-    @pytest.mark.parametrize("ksize,ci,co,block", [(5, 2, 4, 8), (3, 4, 4, 4), (7, 2, 2, 8)])
+    @pytest.mark.parametrize(
+        "ksize,ci,co,block",
+        [(5, 2, 4, 8), (3, 4, 4, 4), (7, 2, 2, 8), (5, 2, 4, 4),
+         (5, 2, 4, 2), (3, 2, 4, 2)],
+    )
     def test_packed_conv_equals_original(self, ksize, ci, co, block):
         with jax.enable_x64(True):
             rng = np.random.default_rng(0)
@@ -58,7 +62,8 @@ class TestPackPrimitives:
 
 
 class TestPackedScan:
-    def test_packed_arsnn_matches_unpacked_x64(self):
+    @pytest.mark.parametrize("block", [4, 8])
+    def test_packed_arsnn_matches_unpacked_x64(self, block):
         from eas_snn_tpu.models.embedding import ARSNNEmbedding
 
         with jax.enable_x64(True):
@@ -71,7 +76,7 @@ class TestPackedScan:
                       spike_attach=True, write_zero=True, thresh=1.0,
                       vreset=None)
             base = ARSNNEmbedding(**kw)
-            packed = ARSNNEmbedding(packed="auto", **kw)
+            packed = ARSNNEmbedding(packed="auto", packed_block=block, **kw)
             variables = base.init(jax.random.PRNGKey(0), x)
             a = base.apply(variables, x)
             b = packed.apply(variables, x)

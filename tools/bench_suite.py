@@ -42,12 +42,13 @@ TM = 4
 H, W = 256, 320  # Gen1 240x304 letterboxed to /32 multiples
 
 
-def _model(compute_dtype="bfloat16", remat=False):
+def _model(compute_dtype="bfloat16", remat=False, state_dtype=None,
+           packed="never"):
     from __graft_entry__ import _build_model
 
     m = _build_model(
         depth=0.67, width=0.75, T=T, Ts=TS, Tm=TM,
-        compute_dtype=compute_dtype,
+        compute_dtype=compute_dtype, state_dtype=state_dtype, packed=packed,
     )
     return m.clone(remat=True) if remat else m
 
@@ -58,15 +59,15 @@ def _conv_flops_per_frame(model, variables, sample) -> float:
     return 2.0 * conv_macs_per_frame(model, tuple(sample.shape))
 
 
-def _batches(B, n=3, seed=0):
-    return device_batches((B, 1, TM, H, W, 2), n=n, seed=seed)
+def _batches(B, n=3, seed=0, dtype=None):
+    return device_batches((B, 1, TM, H, W, 2), n=n, seed=seed, dtype=dtype)
 
 
-def bench_fwd(B):
+def bench_fwd(B, state_dtype=None, packed="never"):
     import jax
     import jax.numpy as jnp
 
-    model = _model()
+    model = _model(state_dtype=state_dtype, packed=packed)
     batches = _batches(B)
     rng = jax.random.PRNGKey(0)
     variables = jax.jit(model.init, static_argnames=("train",))(
@@ -91,15 +92,20 @@ def bench_fwd(B):
     }
 
 
-def bench_train(B, remat=False):
+def bench_train(B, remat=False, state_dtype=None, K=None, packed="never"):
     import jax
     import jax.numpy as jnp
     import optax
 
     from eas_snn_tpu.core.train_state import create_train_state, train_step
 
-    model = _model(remat=remat)
-    batches = _batches(B)
+    model = _model(remat=remat, state_dtype=state_dtype, packed=packed)
+    # bf16 sampler state: generate bench inputs directly in bf16 so the
+    # in-graph cast doesn't hold a second copy of the stacked batches
+    # (micro_sum counts <=256 are exact in bf16)
+    batches = _batches(
+        B, dtype=jnp.bfloat16 if state_dtype == "bfloat16" else None
+    )
     rng = jax.random.PRNGKey(0)
     labels = jnp.tile(
         jnp.asarray([[1.0, 120.0, 110.0, 40.0, 30.0]], jnp.float32)[None],
@@ -125,7 +131,8 @@ def bench_train(B, remat=False):
     # enough (~0.7 s) that K=2 suffices — and the stacked f32 input
     # batches are ~0.7 GB each, which is exactly the HBM margin at the
     # batch-256 remat config (it OOM'd by 40 MB with K=4).
-    K = 4 if B <= 128 else 2
+    if K is None:
+        K = 4 if B <= 128 else 2
     evK = jnp.stack([batches[i % len(batches)] for i in range(K)])
 
     @jax.jit
@@ -170,7 +177,8 @@ def bench_train(B, remat=False):
         "conv_gflops_per_frame_fwd": round(flops_frame / 1e9, 2),
         "mfu_pct_3x_approx": round(100 * mfu, 2),
         "unit": f"SYOLOX-M Gen1 T=3 bf16 train step, batch {B}, "
-                f"{K}-step in-jit scan" + (", remat" if remat else ""),
+                f"{K}-step in-jit scan" + (", remat" if remat else "")
+                + (f", {state_dtype} sampler state" if state_dtype else ""),
     }
     if measured_flops_frame is not None:
         out["measured_gflops_per_frame_fwd_bwd"] = round(
@@ -316,16 +324,34 @@ def main():
     p.add_argument("--workers", type=int, default=8)
     p.add_argument("--remat", action="store_true")
     p.add_argument("--device-binning", action="store_true")
+    p.add_argument(
+        "--state-dtype", default=None,
+        help="sampler scan state dtype (e.g. bfloat16); default f32",
+    )
+    p.add_argument(
+        "--K", type=int, default=None,
+        help="train mode: in-jit scan length (default 4 if B<=128 else 2)",
+    )
+    p.add_argument(
+        "--packed", action="store_true",
+        help="space-to-depth packed ARSNN sampler (ops/pack.py, blk=4)",
+    )
     args = p.parse_args()
 
     from eas_snn_tpu.utils.jax_cache import enable_compilation_cache
 
     enable_compilation_cache()
 
+    packed = "auto" if args.packed else "never"
     if args.mode == "fwd":
-        out = bench_fwd(args.batch or 128)
+        out = bench_fwd(
+            args.batch or 128, state_dtype=args.state_dtype, packed=packed,
+        )
     elif args.mode == "train":
-        out = bench_train(args.batch or 32, remat=args.remat)
+        out = bench_train(
+            args.batch or 32, remat=args.remat,
+            state_dtype=args.state_dtype, K=args.K, packed=packed,
+        )
     else:
         out = bench_loader(
             args.batch or 64, workers=args.workers,

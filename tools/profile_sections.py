@@ -84,6 +84,14 @@ def main():
     p.add_argument(
         "--sections", default="full,emb,backbone,head,emb_bf16,cost"
     )
+    p.add_argument(
+        "--state-dtype", default=None,
+        help="sampler scan state dtype (bench.py deployment: bfloat16)",
+    )
+    p.add_argument(
+        "--packed", action="store_true",
+        help="space-to-depth packed sampler (bench.py deployment config)",
+    )
     args = p.parse_args()
     B = args.batch
     sections = args.sections.split(",")
@@ -98,7 +106,9 @@ def main():
     from __graft_entry__ import _build_model
 
     model = _build_model(
-        depth=0.67, width=0.75, T=T, Ts=TS, Tm=TM, compute_dtype="bfloat16"
+        depth=0.67, width=0.75, T=T, Ts=TS, Tm=TM, compute_dtype="bfloat16",
+        state_dtype=args.state_dtype,
+        packed="auto" if args.packed else "never",
     )
     rng = jax.random.PRNGKey(0)
     gen = jax.jit(
