@@ -16,6 +16,9 @@ class Exp(BaseExp):
         self.depth = 1.00
         self.width = 1.00
         self.act = "silu"
+        # depthwise-separable convs (YOLOX-Nano; reference
+        # exps/default/yolox_nano.py:37 `depthwise=True`)
+        self.depthwise = False
         self.compute_dtype = "float32"
         # data
         self.data_dir = None
@@ -69,6 +72,7 @@ class Exp(BaseExp):
             T=1,
             embedding="count",
             Ts=1,
+            depthwise=self.depthwise,
             compute_dtype=self.compute_dtype,
         )
 

@@ -155,6 +155,36 @@ class TestRGBExp:
         out = model.apply(v, x)
         assert out.shape == (1, 84, 5 + 80)
 
+    def test_yolox_nano_depthwise_builds(self):
+        """Nano preset: depthwise convs engaged end-to-end (reference
+        exps/default/yolox_nano.py:37 depthwise=True)."""
+        import jax
+        import jax.numpy as jnp
+
+        from eas_snn_tpu.exp import get_exp
+
+        exp = get_exp(exp_name="yolox-nano")
+        assert exp.depthwise and exp.width == 0.25
+        assert exp.input_size == (416, 416) and exp.mixup_prob == 0.0
+        model = exp.get_model()
+        assert model.depthwise
+        x = jnp.zeros((1, 1, 1, 64, 64, 3))
+        v = model.init(jax.random.PRNGKey(0), x)
+        # depthwise kernels present: DWConv = grouped 3x3 + pointwise 1x1
+        flat = jax.tree_util.tree_leaves_with_path(v["params"])
+        assert any("dconv" in jax.tree_util.keystr(p) for p, _ in flat)
+        out = model.apply(v, x)
+        assert out.shape == (1, 84, 5 + 80)
+
+    def test_yolox_tiny_x_presets_load(self):
+        from eas_snn_tpu.exp import get_exp
+
+        tiny = get_exp(exp_name="yolox-tiny")
+        assert (tiny.depth, tiny.width) == (0.33, 0.375)
+        assert tiny.input_size == (416, 416)
+        x = get_exp(exp_name="yolox-x")
+        assert (x.depth, x.width) == (1.33, 1.25)
+
 
 class TestLegacyYOLOv3:
     def test_yolofpn_forward(self):

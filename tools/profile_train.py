@@ -37,6 +37,8 @@ def main():
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--K", type=int, default=4)
     p.add_argument("--remat", action="store_true")
+    p.add_argument("--state-dtype", default=None)
+    p.add_argument("--packed", default="never")
     p.add_argument(
         "--sections", default="fwd_loss,grad_full,grad_stop_emb,grad_stop_backbone"
     )
@@ -54,7 +56,8 @@ def main():
     from eas_snn_tpu.models.simota import yolox_losses
 
     model = _build_model(
-        depth=0.67, width=0.75, T=T, Ts=TS, Tm=TM, compute_dtype="bfloat16"
+        depth=0.67, width=0.75, T=T, Ts=TS, Tm=TM, compute_dtype="bfloat16",
+        state_dtype=args.state_dtype, packed=args.packed,
     )
     if args.remat:
         model = model.clone(remat=True)
