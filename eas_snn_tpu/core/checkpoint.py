@@ -46,10 +46,14 @@ class CheckpointManager:
         self._mgr.wait_until_finished()
         if is_best:
             # separate 'best' tree, mirroring save_checkpoint's best copy
-            best_dir = os.path.join(self.directory, "best")
             ckptr = ocp.StandardCheckpointer()
-            ckptr.save(os.path.join(best_dir, "state"), payload, force=True)
+            ckptr.save(os.path.join(self.best_dir, "state"), payload,
+                       force=True)
             ckptr.wait_until_finished()
+
+    @property
+    def best_dir(self) -> str:
+        return os.path.join(self.directory, "best")
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()

@@ -72,7 +72,15 @@ class Trainer:
         if self.rank == 0:
             os.makedirs(self.file_name, exist_ok=True)
         self.logger = setup_logger(self.file_name, self.rank)
-        self.tracker = MetricsTracker(self.file_name, enabled=(self.rank == 0))
+        self.tracker = MetricsTracker(
+            self.file_name,
+            enabled=(self.rank == 0),
+            backend=getattr(args, "logger", "auto") or "auto",
+            run_config={
+                k: v for k, v in vars(exp).items()
+                if isinstance(v, (int, float, str, bool, type(None)))
+            },
+        )
         self.use_l1 = False
         self.no_aug = False
 
@@ -399,6 +407,19 @@ class Trainer:
         self.ckpt.save(
             int(self.state.step), self.state, best_ap=self.best_ap,
             is_best=is_best,
+        )
+        if is_best and self._wandb_artifacts():
+            self.tracker.log_artifact(
+                self.ckpt.best_dir, name="best_ckpt", kind="model"
+            )
+
+    def _wandb_artifacts(self) -> bool:
+        # checkpoint artifacts follow the reference's opt-in
+        # (WandbLogger save_dir / log_checkpoints flag)
+        return (
+            self.tracker._wandb is not None
+            and hasattr(self.ckpt, "best_dir")
+            and os.environ.get("EAS_WANDB_ARTIFACTS", "0") == "1"
         )
 
     def after_train(self):

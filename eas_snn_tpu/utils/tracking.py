@@ -1,10 +1,12 @@
-"""Experiment tracking: JSONL metrics log + optional TensorBoard.
+"""Experiment tracking: JSONL metrics log + optional TensorBoard / wandb.
 
 (reference: yolox/utils/logger.py WandbLogger + tensorboard scalars in
-core/trainer.py:292-304 — neither wandb nor tensorboard ships in this
-environment, so the always-available backend is a structured JSONL stream
-(one {"step", "split", ...} object per line, trivially greppable/plottable);
-TensorBoard is used transparently when importable.)
+core/trainer.py:292-304 — the always-available backend here is a structured
+JSONL stream (one {"step", "split", ...} object per line, trivially
+greppable/plottable); TensorBoard and wandb are used transparently when
+importable, or demanded explicitly with ``backend="wandb"`` /
+``backend="tensorboard"`` mirroring the reference CLI's ``--logger`` flag,
+tools/train_event.py:86-92.)
 """
 
 from __future__ import annotations
@@ -18,20 +20,48 @@ __all__ = ["MetricsTracker"]
 
 
 class MetricsTracker:
-    def __init__(self, output_dir: str, enabled: bool = True):
+    """JSONL always; TensorBoard/wandb as available.
+
+    backend: 'auto' uses every importable backend; 'jsonl' only the file;
+    'tensorboard'/'wandb' require that backend (raise if unimportable, the
+    reference fails the same way when ``--logger wandb`` without wandb).
+    """
+
+    def __init__(self, output_dir: str, enabled: bool = True,
+                 backend: str = "auto",
+                 run_config: Optional[Dict] = None):
         self.enabled = enabled
         self._f = None
         self._tb = None
+        self._wandb = None
         if not enabled:
             return
         os.makedirs(output_dir, exist_ok=True)
         self._f = open(os.path.join(output_dir, "metrics.jsonl"), "a")
-        try:
-            from torch.utils.tensorboard import SummaryWriter  # type: ignore
+        if backend in ("auto", "tensorboard"):
+            try:
+                from torch.utils.tensorboard import SummaryWriter  # type: ignore
 
-            self._tb = SummaryWriter(os.path.join(output_dir, "tb"))
-        except Exception:
-            self._tb = None
+                self._tb = SummaryWriter(os.path.join(output_dir, "tb"))
+            except Exception:
+                if backend == "tensorboard":
+                    raise
+                self._tb = None
+        if backend in ("auto", "wandb"):
+            try:
+                import wandb  # type: ignore
+
+                self._wandb = wandb.init(
+                    project=os.environ.get("WANDB_PROJECT", "eas-snn-tpu"),
+                    name=os.path.basename(output_dir.rstrip(os.sep)) or None,
+                    dir=output_dir,
+                    config=dict(run_config or {}),
+                    resume="allow",
+                )
+            except Exception:
+                if backend == "wandb":
+                    raise
+                self._wandb = None
 
     def log(self, step: int, metrics: Dict[str, float], split: str = "train"):
         if not self.enabled or self._f is None:
@@ -43,9 +73,30 @@ class MetricsTracker:
         if self._tb is not None:
             for k, v in metrics.items():
                 self._tb.add_scalar(f"{split}/{k}", float(v), int(step))
+        if self._wandb is not None:
+            self._wandb.log(
+                {f"{split}/{k}": float(v) for k, v in metrics.items()},
+                step=int(step),
+            )
+
+    def log_artifact(self, path: str, name: str, kind: str = "model"):
+        """Register a file (e.g. a checkpoint dir) as a wandb artifact
+        (reference: WandbLogger.save_checkpoint, yolox/utils/logger.py)."""
+        if self._wandb is None or not self.enabled:
+            return
+        import wandb  # type: ignore
+
+        art = wandb.Artifact(name=name, type=kind)
+        if os.path.isdir(path):
+            art.add_dir(path)
+        else:
+            art.add_file(path)
+        self._wandb.log_artifact(art)
 
     def close(self):
         if self._f is not None:
             self._f.close()
         if self._tb is not None:
             self._tb.close()
+        if self._wandb is not None:
+            self._wandb.finish()

@@ -31,6 +31,83 @@ class TestTracking:
         t.close()
         assert not os.path.exists(tmp_path / "x" / "metrics.jsonl")
 
+    def test_wandb_backend(self, tmp_path, monkeypatch):
+        """wandb integration exercised via a stub module (the package is
+        absent in this environment; reference: WandbLogger,
+        yolox/utils/logger.py)."""
+        import sys
+        import types
+
+        calls = {"logged": [], "artifacts": [], "finished": 0}
+
+        class _Run:
+            def log(self, d, step=None):
+                calls["logged"].append((step, dict(d)))
+
+            def log_artifact(self, art):
+                calls["artifacts"].append(art)
+
+            def finish(self):
+                calls["finished"] += 1
+
+        class _Artifact:
+            def __init__(self, name, type):
+                self.name, self.type = name, type
+                self.files = []
+
+            def add_file(self, p):
+                self.files.append(p)
+
+            def add_dir(self, p):
+                self.files.append(p)
+
+        fake = types.ModuleType("wandb")
+        fake.init = lambda **kw: _Run()
+        fake.Artifact = _Artifact
+        monkeypatch.setitem(sys.modules, "wandb", fake)
+
+        from eas_snn_tpu.utils.tracking import MetricsTracker
+
+        t = MetricsTracker(str(tmp_path), backend="wandb",
+                           run_config={"depth": 0.33})
+        t.log(5, {"loss": 2.0})
+        t.log(6, {"AP50": 0.1}, split="val")
+        ckpt = tmp_path / "best"
+        ckpt.mkdir()
+        t.log_artifact(str(ckpt), name="best_ckpt")
+        t.close()
+
+        assert calls["logged"] == [
+            (5, {"train/loss": 2.0}), (6, {"val/AP50": 0.1})
+        ]
+        assert len(calls["artifacts"]) == 1
+        assert calls["artifacts"][0].name == "best_ckpt"
+        assert calls["finished"] == 1
+        # JSONL still written alongside
+        assert os.path.exists(tmp_path / "metrics.jsonl")
+
+    def test_wandb_required_but_missing_raises(self, tmp_path, monkeypatch):
+        import builtins
+        import sys
+
+        monkeypatch.delitem(sys.modules, "wandb", raising=False)
+        real_import = builtins.__import__
+
+        def deny(name, *a, **k):
+            if name == "wandb":
+                raise ImportError("no wandb")
+            return real_import(name, *a, **k)
+
+        monkeypatch.setattr(builtins, "__import__", deny)
+        from eas_snn_tpu.utils.tracking import MetricsTracker
+
+        with pytest.raises(ImportError):
+            MetricsTracker(str(tmp_path), backend="wandb")
+        # 'auto' degrades silently
+        t = MetricsTracker(str(tmp_path), backend="auto")
+        t.log(1, {"a": 1.0})
+        t.close()
+
 
 class TestMeters:
     def test_average_meter_window(self):

@@ -31,6 +31,12 @@ def make_parser() -> argparse.ArgumentParser:
     parser.add_argument("-c", "--ckpt", type=str, default=None,
                         help="fine-tune checkpoint (shape-checked partial load)")
     parser.add_argument("--grid_search", action="store_true")
+    parser.add_argument(
+        "-l", "--logger", type=str, default="auto",
+        choices=["auto", "jsonl", "tensorboard", "wandb"],
+        help="metrics backend (JSONL always written; 'auto' adds every "
+             "importable backend, reference tools/train_event.py --logger)",
+    )
     parser.add_argument("--profile", type=int, default=0,
                         help="capture a jax.profiler trace of N iterations")
     parser.add_argument("--num_processes", type=int, default=None,
