@@ -456,11 +456,34 @@ def conv3x3_plif_reference(
 # stride-1 kernel.
 
 
-def _ho_block(Ho: int) -> int:
+def _s2_vmem_est(hb: int, W: int, C: int, c_out: int, TB: int,
+                 isz: int) -> int:
+    Wo = W // 2
+    return (
+        (2 * hb + 1) * (W + 2) * C * TB * isz      # padded slab scratch
+        + 2 * 2 * hb * W * C * TB * isz            # center blocks
+        + 2 * W * C * TB * isz                     # slim halo block
+        + 2 * hb * Wo * c_out * TB                 # int8 out blocks
+        + 2 * c_out * TB * 4
+        + 3 * c_out * 3 * C * 2 + c_out * 4
+    )
+
+
+def _ho_block(Ho: int, W: int, C: int, c_out: int, TB: int,
+              isz: int) -> int:
+    """Largest output-row block whose VMEM working set fits the budget.
+
+    hb=4 overflows the 80 MB gate at EVERY flagship downsample geometry
+    (dark2..dark5 at B=128 are all ~100 MB there) while hb=2 fits them
+    all (~56 MB) — so the block size must adapt to the estimate, not
+    just to divisibility, or the stride-2 kernel never engages.
+    """
     for cand in (4, 2, 1):
-        if Ho % cand == 0:
+        if Ho % cand == 0 and (
+            _s2_vmem_est(cand, W, C, c_out, TB, isz) < 80 * 1024 * 1024
+        ):
             return cand
-    return 1
+    return 0
 
 
 def conv3x3s2_plif_supported(shape4, T: int, c_out: int, dtype) -> bool:
@@ -475,18 +498,8 @@ def conv3x3s2_plif_supported(shape4, T: int, c_out: int, dtype) -> bool:
         return False
     if TB % T or (TB // T) % _LANE or C % 8 or c_out % 8:
         return False
-    Ho, Wo = H // 2, W // 2
-    hb = _ho_block(Ho)
     isz = jnp.dtype(dtype).itemsize
-    est = (
-        (2 * hb + 1) * (W + 2) * C * TB * isz      # padded slab scratch
-        + 2 * 2 * hb * W * C * TB * isz            # center blocks
-        + 2 * W * C * TB * isz                     # slim halo block
-        + 2 * hb * Wo * c_out * TB                 # int8 out blocks
-        + 2 * c_out * TB * 4
-        + 3 * c_out * 3 * C * 2 + c_out * 4
-    )
-    return est < 80 * 1024 * 1024
+    return _ho_block(H // 2, W, C, c_out, TB, isz) >= 1
 
 
 def _kernel3s2(a_ref, w_ref, b_ref, xc_ref, xp_ref, o_ref, pad_ref,
@@ -545,10 +558,13 @@ def _kernel3s2(a_ref, w_ref, b_ref, xc_ref, xp_ref, o_ref, pad_ref,
 
 @lru_cache(maxsize=None)
 def _make3s2(kind: str, thresh: float, T: int, H: int, W: int, Cin: int,
-             Cout: int, interpret: bool, in_dt: str, out_dt: str):
+             Cout: int, interpret: bool, in_dt: str, out_dt: str, TB: int):
     ge = _spike_ge(kind)
     Ho, Wo = H // 2, W // 2
-    hb = _ho_block(Ho)
+    hb = _ho_block(Ho, W, Cin, Cout, TB, jnp.dtype(in_dt).itemsize)
+    if hb < 1:
+        raise ValueError("conv3x3s2_plif_fused: geometry exceeds the VMEM "
+                         "budget (call conv3x3s2_plif_supported first)")
     nb = Ho // hb
 
     def fn(x4v, a32, w3, bias):
@@ -605,7 +621,7 @@ def conv3x3s2_plif_fused(
     x4v = x_tb.transpose(1, 2, 3, 0)
     fn = _make3s2(
         spike_fn, float(thresh), int(T), H, W, Cin, w3.shape[1], interpret,
-        jnp.dtype(x_tb.dtype).name, jnp.dtype(out_dtype).name,
+        jnp.dtype(x_tb.dtype).name, jnp.dtype(out_dtype).name, int(TB),
     )
     s4 = fn(x4v, a, w3.astype(jnp.bfloat16),
             bias.reshape(-1, 1).astype(jnp.float32))

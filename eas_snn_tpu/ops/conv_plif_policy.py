@@ -27,7 +27,17 @@ B=128) fused vs the production unfused chain on a v5e chip (2026-08-18):
     dark5.csp.m.conv1  1 1  8x10    384->384    0.128    0.033  noise
     dark5.csp.m.conv2  3 1  8x10    384->384    0.403    0.408  tie
     dark5.csp.conv3    1 1  8x10   2x384->768   0.278    0.149  WIN
-    (3x3 stride-2 downsamples: unsupported — VMEM slab too large)
+    dark2.down         3 2  128x160  48->96     4.134    3.923  WIN
+    dark3.down         3 2  64x80    96->192    2.103    2.169  tie
+    dark4.down         3 2  32x40   192->384    1.436    1.460  tie
+    dark5.down         3 2  16x20   384->768    1.101    1.071  tie
+
+(The stride-2 downsamples were VMEM-inadmissible at the original fixed
+ho_blk=4; the block size is now fitted to the 80 MB estimate — hb=2 at
+every flagship downsample geometry — and all four were measured
+2026-08-19. Only dark2.down wins reproducibly: 0.21/0.35 ms across two
+runs; the deeper downsamples are byte-light enough that the fused
+per-pixel dots only break even.)
 
 Fusing everything measured a WASH at the backbone level (41.9 vs 38.8 ms
 summed; 40.4 vs 41.5 composed) because the early-stage losses cancel the
@@ -61,6 +71,7 @@ _MEASURED_WINS = {
     (1, 1, 16, 20, 1, 384, 192),   # dark4 CSP conv1/conv2
     (1, 1, 16, 20, 2, 384, 384),   # dark4 CSP conv3
     (1, 1, 8, 10, 2, 768, 768),    # dark5 CSP conv3
+    (3, 2, 128, 160, 1, 48, 96),   # dark2 downsample (hb=2 VMEM fit)
 }
 
 

@@ -231,8 +231,10 @@ class TestKernel3x3Stride2VsReference:
     @pytest.mark.parametrize("in_dt", [jnp.int8, jnp.bfloat16])
     @pytest.mark.parametrize(
         # Ho=8 -> ho_blk=4, 2 grid blocks: exercises the cross-block slim
-        # halo row, not just the zeroed top border
-        "hwc", [(8, 6, 16, 48), (16, 8, 8, 16)]
+        # halo row, not just the zeroed top border. Ho=6 -> ho_blk=2,
+        # 3 grid blocks: the VMEM-fitted block size the flagship
+        # downsample geometries use (hb=4 overflows the 80 MB gate there)
+        "hwc", [(8, 6, 16, 48), (16, 8, 8, 16), (12, 8, 16, 24)]
     )
     def test_bitwise(self, in_dt, hwc):
         from eas_snn_tpu.ops.conv_plif_pallas import (
@@ -451,7 +453,10 @@ class TestEngagementPolicy:
         )
         assert should_fuse(3, 1, (TB128, 32, 40, 96), 96)
         assert should_fuse(1, 1, (TB128, 16, 20, 384), 192)
+        assert should_fuse(3, 2, (TB128, 128, 160, 48), 96)  # dark2.down
         # decisive losers / noise sites stay unfused
+        assert not should_fuse(3, 2, (TB128, 64, 80, 96), 192)   # d3.down
+        assert not should_fuse(3, 2, (TB128, 16, 20, 384), 768)  # d5.down
         assert not should_fuse(3, 1, (TB128, 128, 160, 8), 48)    # stem
         assert not should_fuse(1, 1, (TB128, 64, 80, 48), 48)     # m.conv1
         assert not should_fuse(3, 1, (TB128, 64, 80, 48), 48)     # m.conv2

@@ -67,7 +67,19 @@ def test_stablehlo_export_roundtrip(tiny):
 
 def test_tf_savedmodel_export(tiny, tmp_path):
     tf = pytest.importorskip("tensorflow")
-    from tools.export_savedmodel import export_tf_savedmodel
+    # import by file path: the reference-parity tests put /root/reference
+    # on sys.path, whose tools/ is a REGULAR package (has __init__.py)
+    # that shadows our namespace-package tools/ for the rest of the session
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "eas_export_savedmodel",
+        os.path.join(os.path.dirname(__file__), os.pardir, "tools",
+                     "export_savedmodel.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    export_tf_savedmodel = mod.export_tf_savedmodel
 
     model, variables, sample, want = tiny
     out = str(tmp_path / "sm")
