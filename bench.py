@@ -29,34 +29,30 @@ def main():
     enable_compilation_cache()
     import jax.numpy as jnp
 
-    from __graft_entry__ import _build_model
+    import sys
 
-    T = Ts = 3
-    Tm = 4
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from eas_snn_tpu.exp import get_exp
+
+    # The PRODUCT deployment config: the flagship preset + tpu_deploy()
+    # (bf16 conv/BN compute — 2.7x measured vs f32 on v5e; bf16 sampler
+    # scan state — protocol-fair vs the reference's --fp16 eval which runs
+    # the WHOLE model incl. recurrent state in fp16, eval_event.py:66,
+    # event_evaluator.py:141-144; 4x4 space-to-depth packed sampler convs
+    # — 9.1 vs 15.6 ms measured). `tools/eval_event.py -n gen1_syolox_m
+    # --fp16 --speed -b 128` runs the SAME module (tests/test_deploy.py).
+    exp = get_exp(exp_name="gen1_syolox_m").tpu_deploy()
+    model = exp.get_model()
+    Tm = exp.Tm
     # batch 128 measured 1041.7 f/s vs 715 at batch 64 (46% jump: T*B=384
     # tiles the MXU better); 96 gave no gain, so 128 is the sweet spot
-    B, H, W = 128, 256, 320
-    # deployment config: bf16 conv/BN compute (2.7x measured vs f32 on v5e);
-    # losses/decode stay f32 in the model. bf16 sampler scan state mirrors
-    # the reference's own half-precision eval protocol (eval_event.py:66
-    # --fp16 -> model.half(), event_evaluator.py:141-144, which runs the
-    # WHOLE model incl. the recurrent sampler state in fp16) — and is
-    # strictly more conservative than it: membrane arithmetic in our
-    # kernels stays f32, only the stored carries are bf16.
-    # packed="auto": the sampler's C=2 5x5 stencils run as 4x4
-    # space-to-depth packed 3x3 convs (ops/pack.py) — measured 9.1 ms vs
-    # 15.6 unpacked at this geometry (the convs, not scan barriers, bound
-    # the sampler). Same math, weights transformed by a differentiable
-    # gather; float association differs (protocol-fair, like bf16 state).
-    model = _build_model(
-        depth=0.67, width=0.75, T=T, Ts=Ts, Tm=Tm, compute_dtype="bfloat16",
-        state_dtype="bfloat16", packed="auto",
-    )
+    B = 128
+    H, W = exp.test_size
 
     from eas_snn_tpu.utils.benchmarks import device_batches, pipelined_fps
 
     rng = jax.random.PRNGKey(0)
-    batches = device_batches((B, 1, Tm, H, W, 2))
+    batches = device_batches((B, exp.Tl, Tm, H, W, exp.in_dim))
     variables = jax.jit(model.init, static_argnames=("train",))(
         rng, batches[0][:1], train=False
     )

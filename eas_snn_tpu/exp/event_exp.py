@@ -69,10 +69,16 @@ class EventExp(BaseExp):
         # 'never'|'auto'|'always': fused Pallas ARSNN eval kernel
         self.use_pallas = "never"
         # 'never'|'auto': space-to-depth packed ARSNN scan (ops/pack.py).
-        # Measured a WASH on v5e (35.8 vs 35.4 ms/batch-64): XLA's layout
-        # assignment already avoids the naive C=2 lane-padding tax; kept as
-        # an equivalence-tested option for other geometries/hardware.
+        # At blk=4 (the module default) this is the measured deployment
+        # winner on v5e at flagship geometry: sampler 9.1 ms vs 15.6
+        # unpacked (BENCHMARKS.md "conv-bound, not barrier-bound").
         self.packed_embedding = "never"
+        # None (f32) | 'bfloat16': ARSNN scan state dtype. bf16 halves the
+        # bandwidth-bound sampler's carry traffic (22.9 -> 18.1 ms at
+        # B=128); protocol-fair vs the reference's --fp16 eval, which runs
+        # the WHOLE model incl. recurrent state in fp16
+        # (reference tools/eval_event.py:66, event_evaluator.py:141-144).
+        self.embedding_state_dtype = None
         # rematerialize backbone activations in backward (memory saver)
         self.remat = False
         self.data_name = "n-caltech"
@@ -119,6 +125,20 @@ class EventExp(BaseExp):
         self.nmsthre = 0.65
 
     # ------------------------------------------------------------------
+    def tpu_deploy(self):
+        """Engage the measured TPU deployment config (BENCHMARKS.md
+        flagship table): bf16 conv/BN compute, bf16 ARSNN scan state, and
+        4x4 space-to-depth packed sampler convs. int8 spike storage and
+        the per-geometry conv+BN+PLIF fusion policy are already the eval
+        defaults. This is the single config bench.py benchmarks and the
+        eval CLI's ``--fp16`` flag enables — the TPU counterpart of the
+        reference's half-precision eval (reference tools/eval_event.py:66
+        ``--fp16`` -> ``model.half()``, event_evaluator.py:141-144)."""
+        self.compute_dtype = "bfloat16"
+        self.embedding_state_dtype = "bfloat16"
+        self.packed_embedding = "auto"
+        return self
+
     @property
     def use_spike_mode(self) -> str:
         return _USE_SPIKE_MAP[self.use_spike]
@@ -153,6 +173,7 @@ class EventExp(BaseExp):
             remat=self.remat,
             use_pallas=self.use_pallas,
             packed_embedding=self.packed_embedding,
+            embedding_state_dtype=self.embedding_state_dtype,
         )
 
     def get_slice_args(self) -> dict:

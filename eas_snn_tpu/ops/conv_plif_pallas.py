@@ -72,13 +72,15 @@ def _shapes(x_or_seq):
     return tuple(x.shape for x in xs), tuple(x.dtype for x in xs)
 
 
-def conv1x1_plif_supported(shape4, T: int, c_out: int, dtype) -> bool:
+def conv1x1_plif_supported(shape4, T: int, c_out: int, dtype,
+                           out_dtype=jnp.int8) -> bool:
     """(T*B, H, W, C_in) input(s) are kernel-eligible: the (H*W, C, T*B)
     views must be bitcasts of the conv layout (each C % 8 == 0) and the T
     lane-slices 128-aligned (B % 128 == 0). ``shape4``/``dtype`` may be a
     single input's shape/dtype or matching tuples of them (a virtual
     channel-concat: the kernel sums one MXU dot per input and the concat
-    is never materialized)."""
+    is never materialized). ``out_dtype`` must match the fused call's —
+    the VMEM estimate scales its output-block term by its itemsize."""
     shapes = (shape4,) if len(shape4) and not isinstance(
         shape4[0], (tuple, list)
     ) else tuple(shape4)
@@ -101,9 +103,10 @@ def conv1x1_plif_supported(shape4, T: int, c_out: int, dtype) -> bool:
     blk = _hw_block(H * W)
     C = sum(s[3] for s in shapes)
     isz = max(jnp.dtype(dt).itemsize for dt in dtypes)
+    osz = jnp.dtype(out_dtype).itemsize
     est = (
         2 * blk * C * TB * isz                        # x blocks
-        + 2 * blk * c_out * TB                        # int8 out blocks
+        + 2 * blk * c_out * TB * osz                  # out blocks
         + 2 * c_out * TB * 4 + c_out * (TB // T) * 4  # acc + v values
         + c_out * C * 2 + c_out * 4
     )
@@ -249,7 +252,8 @@ def _h_block(H: int) -> int:
     return 1
 
 
-def conv3x3_plif_supported(shape4, T: int, c_out: int, dtype) -> bool:
+def conv3x3_plif_supported(shape4, T: int, c_out: int, dtype,
+                           out_dtype=jnp.int8) -> bool:
     if len(shape4) != 4:
         return False
     if jnp.dtype(dtype) not in (
@@ -261,11 +265,12 @@ def conv3x3_plif_supported(shape4, T: int, c_out: int, dtype) -> bool:
         return False
     hb = _h_block(H)
     isz = jnp.dtype(dtype).itemsize
+    osz = jnp.dtype(out_dtype).itemsize
     est = (
         (hb + 2) * (W + 2) * C * TB * isz          # padded slab scratch
         + 2 * hb * W * C * TB * isz                # center blocks
         + 4 * W * C * TB * isz                     # slim halo blocks
-        + 2 * hb * W * c_out * TB                  # int8 out blocks
+        + 2 * hb * W * c_out * TB * osz            # out blocks
         + 2 * c_out * TB * 4                       # acc/v values
         + 3 * c_out * 3 * C * 2 + c_out * 4
     )
@@ -457,20 +462,20 @@ def conv3x3_plif_reference(
 
 
 def _s2_vmem_est(hb: int, W: int, C: int, c_out: int, TB: int,
-                 isz: int) -> int:
+                 isz: int, osz: int) -> int:
     Wo = W // 2
     return (
         (2 * hb + 1) * (W + 2) * C * TB * isz      # padded slab scratch
         + 2 * 2 * hb * W * C * TB * isz            # center blocks
         + 2 * W * C * TB * isz                     # slim halo block
-        + 2 * hb * Wo * c_out * TB                 # int8 out blocks
+        + 2 * hb * Wo * c_out * TB * osz           # out blocks
         + 2 * c_out * TB * 4
         + 3 * c_out * 3 * C * 2 + c_out * 4
     )
 
 
 def _ho_block(Ho: int, W: int, C: int, c_out: int, TB: int,
-              isz: int) -> int:
+              isz: int, osz: int) -> int:
     """Largest output-row block whose VMEM working set fits the budget.
 
     hb=4 overflows the 80 MB gate at EVERY flagship downsample geometry
@@ -480,13 +485,14 @@ def _ho_block(Ho: int, W: int, C: int, c_out: int, TB: int,
     """
     for cand in (4, 2, 1):
         if Ho % cand == 0 and (
-            _s2_vmem_est(cand, W, C, c_out, TB, isz) < 80 * 1024 * 1024
+            _s2_vmem_est(cand, W, C, c_out, TB, isz, osz) < 80 * 1024 * 1024
         ):
             return cand
     return 0
 
 
-def conv3x3s2_plif_supported(shape4, T: int, c_out: int, dtype) -> bool:
+def conv3x3s2_plif_supported(shape4, T: int, c_out: int, dtype,
+                             out_dtype=jnp.int8) -> bool:
     if len(shape4) != 4:
         return False
     if jnp.dtype(dtype) not in (
@@ -499,7 +505,8 @@ def conv3x3s2_plif_supported(shape4, T: int, c_out: int, dtype) -> bool:
     if TB % T or (TB // T) % _LANE or C % 8 or c_out % 8:
         return False
     isz = jnp.dtype(dtype).itemsize
-    return _ho_block(H // 2, W, C, c_out, TB, isz) >= 1
+    osz = jnp.dtype(out_dtype).itemsize
+    return _ho_block(H // 2, W, C, c_out, TB, isz, osz) >= 1
 
 
 def _kernel3s2(a_ref, w_ref, b_ref, xc_ref, xp_ref, o_ref, pad_ref,
@@ -561,7 +568,8 @@ def _make3s2(kind: str, thresh: float, T: int, H: int, W: int, Cin: int,
              Cout: int, interpret: bool, in_dt: str, out_dt: str, TB: int):
     ge = _spike_ge(kind)
     Ho, Wo = H // 2, W // 2
-    hb = _ho_block(Ho, W, Cin, Cout, TB, jnp.dtype(in_dt).itemsize)
+    hb = _ho_block(Ho, W, Cin, Cout, TB, jnp.dtype(in_dt).itemsize,
+                   jnp.dtype(out_dt).itemsize)
     if hb < 1:
         raise ValueError("conv3x3s2_plif_fused: geometry exceeds the VMEM "
                          "budget (call conv3x3s2_plif_supported first)")

@@ -25,6 +25,13 @@ def make_parser() -> argparse.ArgumentParser:
                         help="checkpoint directory (orbax tree)")
     parser.add_argument("--eval_proh", action="store_true",
                         help="use the Prophesee +/-50ms protocol")
+    parser.add_argument(
+        "--fp16", "--bf16", dest="fp16", action="store_true",
+        help="TPU deployment precision (exp.tpu_deploy(): bf16 compute + "
+             "bf16 sampler state + packed sampler convs — the config "
+             "bench.py's headline measures; mirrors the reference's --fp16 "
+             "half-precision eval, reference tools/eval_event.py:66)",
+    )
     parser.add_argument("--speed", action="store_true",
                         help="forward-latency benchmark only")
     parser.add_argument("--energy", action="store_true",
@@ -50,6 +57,8 @@ def main():
     logger = setup_logger(None, 0)
 
     exp = get_exp(args.exp_file, args.name)
+    if args.fp16:
+        exp.tpu_deploy()  # before merge: explicit 'key value' opts still win
     if args.opts:
         exp.merge(args.opts)
     exp.eval_proph = args.eval_proh
@@ -94,16 +103,27 @@ def main():
         return
 
     if args.speed:
-        ev = jnp.zeros((args.batch_size, exp.Tl, exp.Tm, h, w, exp.in_dim))
-        jax.block_until_ready(fwd(variables, ev))
+        # same methodology as bench.py (utils/benchmarks.py): on-device
+        # Poisson inputs, forced materialization, depth-1 pipelining —
+        # so `eval_event.py --fp16 --speed -b 128` reproduces the headline
+        from eas_snn_tpu.utils.benchmarks import device_batches, pipelined_fps
+
+        B = args.batch_size
+        batches = device_batches((B, exp.Tl, exp.Tm, h, w, exp.in_dim))
+        speed_fwd = jax.jit(
+            lambda v, e: (lambda o: (o, o.sum()))(model.apply(v, e, train=False))
+        )
+        _, s = speed_fwd(variables, batches[0])
+        float(s)  # warmup + compile
         t0 = time.perf_counter()
-        for _ in range(20):
-            out = fwd(variables, ev)
-        jax.block_until_ready(out)
-        dt = (time.perf_counter() - t0) / 20
+        for i in range(5):
+            _, s = speed_fwd(variables, batches[i % len(batches)])
+            float(s)
+        sync_ms = (time.perf_counter() - t0) / 5 * 1000
+        fps = pipelined_fps(lambda e: speed_fwd(variables, e), batches, B)
         logger.info(
-            f"forward: {1000 * dt:.2f} ms/batch "
-            f"({args.batch_size / dt:.1f} img/s)"
+            f"forward: {sync_ms:.2f} ms/batch sync ({1000 * B / sync_ms:.1f} "
+            f"img/s), pipelined {fps:.1f} img/s"
         )
         return
 

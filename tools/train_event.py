@@ -32,6 +32,13 @@ def make_parser() -> argparse.ArgumentParser:
                         help="fine-tune checkpoint (shape-checked partial load)")
     parser.add_argument("--grid_search", action="store_true")
     parser.add_argument(
+        "--fp16", "--bf16", dest="fp16", action="store_true",
+        help="TPU deployment precision (exp.tpu_deploy(): bf16 compute + "
+             "bf16 sampler state + packed sampler convs; the differentiable "
+             "counterpart of the reference's --fp16 mixed-precision train, "
+             "reference tools/train_event.py:68-69)",
+    )
+    parser.add_argument(
         "-l", "--logger", type=str, default="auto",
         choices=["auto", "jsonl", "tensorboard", "wandb"],
         help="metrics backend (JSONL always written; 'auto' adds every "
@@ -67,6 +74,8 @@ def main():
     )
 
     exp = get_exp(args.exp_file, args.name)
+    if args.fp16:
+        exp.tpu_deploy()  # before merge: explicit 'key value' opts still win
     if args.opts:
         exp.merge(args.opts)
     exp.check_exp_value()
