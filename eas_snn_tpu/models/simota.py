@@ -27,6 +27,54 @@ _BIG = 1e6  # geometry-violation penalty (reference :505)
 _INF = 1e9  # invalid-gt penalty (replaces dynamic gt count)
 
 
+def _topk_sum(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Sum of the k largest values along the last axis, tie-exact.
+
+    ``lax.top_k`` lowers to a full bitonic sort on TPU — measured 8.7 ms
+    of the 11.8 ms flagship loss forward at B=128, A=1680
+    (tools/profile_loss.py). k rounds of max-extraction compute the same
+    sum in ~0.2 ms. Ties at the max are pulled together and credited
+    ``min(count, slots_left)`` times, so the result equals
+    ``lax.top_k(x, k)[0].sum(-1)`` bit-exactly, duplicates included
+    (pinned vs lax.top_k in tests/test_core.py)."""
+    neg = jnp.asarray(-jnp.inf, x.dtype)
+
+    def body(_, carry):
+        cur, acc, rem = carry
+        m = cur.max(-1)
+        tie = cur >= m[..., None]
+        cnt = tie.sum(-1)
+        take = jnp.minimum(cnt, rem)
+        acc = acc + jnp.where(take > 0, m * take.astype(x.dtype), 0.0)
+        return jnp.where(tie, neg, cur), acc, rem - take
+
+    z = jnp.zeros(x.shape[:-1], x.dtype)
+    rem0 = jnp.full(x.shape[:-1], k, jnp.int32)
+    _, acc, _ = jax.lax.fori_loop(0, k, body, (x, z, rem0))
+    return acc
+
+
+def _kth_smallest(x: jnp.ndarray, ks: jnp.ndarray, k: int) -> jnp.ndarray:
+    """The ks-th smallest value along the last axis (1 <= ks <= k),
+    tie-exact: equals ``-lax.top_k(-x, k)[0][..., ks - 1]`` without the
+    TPU sort (same iterative extraction as ``_topk_sum``; the value-rank
+    accounting makes duplicated minima occupy one rank per copy)."""
+    pos = jnp.asarray(jnp.inf, x.dtype)
+
+    def body(_, carry):
+        cur, kth, cum = carry
+        m = cur.min(-1)
+        tie = cur <= m[..., None]
+        cnt = tie.sum(-1)
+        kth = jnp.where((cum < ks) & (cum + cnt >= ks), m, kth)
+        return jnp.where(tie, pos, cur), kth, cum + cnt
+
+    z = jnp.zeros(x.shape[:-1], x.dtype)
+    zi = jnp.zeros(x.shape[:-1], jnp.int32)
+    _, kth, _ = jax.lax.fori_loop(0, k, body, (x, z, zi))
+    return kth
+
+
 def _bce_probs(p: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     """binary_cross_entropy on probabilities, clamped like torch (log >= -100)."""
     logp = jnp.maximum(jnp.log(p + 1e-12), -100.0)
@@ -107,20 +155,18 @@ def simota_assign(
     # --- dynamic-k (reference :561-570): per gt, k = clamp(sum top10 iou, 1)
     cand_ious = jnp.where(anchor_filter[None, :], ious, 0.0)
     k10 = min(10, A)
-    topk_ious = jax.lax.top_k(cand_ious, k10)[0]                # (M, k10)
-    dynamic_ks = jnp.maximum(topk_ious.sum(-1).astype(jnp.int32), 1)  # (M,)
+    dynamic_ks = jnp.maximum(_topk_sum(cand_ious, k10).astype(jnp.int32), 1)
 
     # match each gt to its dynamic_k lowest-cost anchors. dynamic_k <= 10
     # always (a sum of 10 IoUs), so a top-10 partial selection replaces the
     # reference's full per-gt sort (and our former double argsort over
     # (M, A) — TPU sorts are bitonic and expensive at A ~ 5k):
-    # threshold at the k-th smallest cost. Exact-tie costs at the
+    # threshold at the k-th smallest cost, computed by k rounds of
+    # min-extraction (lax.top_k itself IS a full TPU sort: it was 8.7 of
+    # the 11.8 ms loss forward — see _topk_sum). Exact-tie costs at the
     # threshold admit >k anchors in principle; float costs make that
     # measure-zero, and the torch loss-parity test pins the behavior.
-    neg_topk = jax.lax.top_k(-cost, k10)[0]                     # (M, k10)
-    kth = -neg_topk[
-        jnp.arange(cost.shape[0]), jnp.minimum(dynamic_ks, k10) - 1
-    ]                                                            # (M,)
+    kth = _kth_smallest(cost, jnp.minimum(dynamic_ks, k10), k10)  # (M,)
     matching = (cost <= kth[:, None]) & gt_valid[:, None]        # (M, A) bool
 
     # --- conflict resolution (reference :575-581): anchors matched to >1 gt

@@ -147,6 +147,40 @@ class TestSimOTA:
         assert float(res.num_fg) == 0.0
         assert not bool(res.fg_mask.any())
 
+    def test_iterative_topk_matches_lax_top_k(self):
+        """_topk_sum/_kth_smallest (k rounds of extraction; replaces the
+        TPU-sort-lowered lax.top_k that was 8.7 of the 11.8 ms flagship
+        loss forward) are tie-exact vs lax.top_k — incl. duplicated
+        values and all-zero iou rows."""
+        from eas_snn_tpu.models.simota import _kth_smallest, _topk_sum
+
+        rng = np.random.default_rng(0)
+        # heavy ties: one-decimal rounding
+        x = jnp.asarray(
+            np.round(rng.normal(5, 2, (6, 9, 333)), 1).astype(np.float32)
+        )
+        ref = jax.lax.top_k(x, 10)[0]
+        np.testing.assert_allclose(
+            np.asarray(_topk_sum(x, 10)), np.asarray(ref.sum(-1)), rtol=1e-6
+        )
+        for ksv in (1, 3, 10):
+            ks = jnp.full(x.shape[:-1], ksv, jnp.int32)
+            np.testing.assert_array_equal(
+                np.asarray(_kth_smallest(-x, ks, 10)),
+                np.asarray(-ref[..., ksv - 1]),
+            )
+        # mixed per-row ks
+        ks = jnp.asarray(rng.integers(1, 11, x.shape[:-1]), jnp.int32)
+        got = np.asarray(_kth_smallest(-x, ks, 10))
+        want = np.take_along_axis(
+            np.asarray(-ref), np.asarray(ks)[..., None] - 1, axis=-1
+        )[..., 0]
+        np.testing.assert_array_equal(got, want)
+        # all-zero rows (the cand_ious case): finite, sum 0
+        z = jnp.zeros((2, 5, 50), jnp.float32)
+        s = np.asarray(_topk_sum(z, 10))
+        assert np.isfinite(s).all() and (s == 0).all()
+
     def test_conflict_resolution_single_match(self):
         # two overlapping gts competing for the same anchors: every fg anchor
         # must end up matched to exactly one gt
