@@ -18,6 +18,7 @@ statistics are computed over (T·B, H, W), matching spikingjelly's multi-step
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Sequence, Tuple
 
 import jax
@@ -104,10 +105,19 @@ class PLIF(nn.Module):
         w = self.param("w", lambda _: jnp.asarray(PLIF_W_INIT, jnp.float32))
         from ..ops.plif_pallas import plif_fused, plif_fused_supported
 
-        use_fused = self.fuse == "interpret" or (
-            self.fuse == "auto"
-            and jax.default_backend() == "tpu"
-            and self.spike_fn in ("atan", "rect", "sigmoid", "tanh")
+        # A/B switches (like EAS_CONV_PLIF_FUSE / EAS_BN_AFFINE_FUSE):
+        # EAS_PLIF_FUSE=0 forces the XLA scan path, EAS_SPIKE_STORE=float
+        # disables int8 spike storage — together with compute_dtype=float32
+        # they give the pure-f32 reference arithmetic that the AP-drift
+        # experiment (tools/ap_drift.py) baselines against.
+        eval_store = os.environ.get("EAS_SPIKE_STORE", self.eval_store)
+        train_store = os.environ.get("EAS_SPIKE_STORE", self.train_store)
+        use_fused = os.environ.get("EAS_PLIF_FUSE", "1") != "0" and (
+            self.fuse == "interpret" or (
+                self.fuse == "auto"
+                and jax.default_backend() == "tpu"
+                and self.spike_fn in ("atan", "rect", "sigmoid", "tanh")
+            )
         )
         if conv1x1 is not None or conv3x3 is not None:
             # eval-only: the whole conv (+ folded BN) runs inside the
@@ -132,7 +142,7 @@ class PLIF(nn.Module):
                     (cpp.conv3x3s2_plif_fused, cpp.conv3x3s2_plif_reference,
                      cpp.conv3x3s2_plif_supported)
                 )
-            out_dt = jnp.int8 if self.eval_store == "int8" else float_dt
+            out_dt = jnp.int8 if eval_store == "int8" else float_dt
             kw = dict(thresh=self.thresh, spike_fn=self.spike_fn,
                       out_dtype=out_dt)
             if isinstance(x, (tuple, list)):  # virtual concat (1x1 only)
@@ -140,7 +150,7 @@ class PLIF(nn.Module):
                 dts = tuple(t.dtype for t in x)
             else:
                 shapes, dts = x.shape, x.dtype
-            if use_fused and sup(shapes, self.T, c_out, dts):
+            if use_fused and sup(shapes, self.T, c_out, dts, out_dtype=out_dt):
                 return fused(
                     x, w_mat, bias_eff, self.T, w,
                     interpret=self.fuse == "interpret", **kw,
@@ -148,9 +158,9 @@ class PLIF(nn.Module):
             return ref(x, w_mat, bias_eff, self.T, w, **kw)
         if use_fused and plif_fused_supported(x.shape, self.T, x.dtype):
             if train:
-                store = "view" if self.train_store == "int8" else False
+                store = "view" if train_store == "int8" else False
             else:
-                store = "direct" if self.eval_store == "int8" else False
+                store = "direct" if eval_store == "int8" else False
             return plif_fused(
                 x, self.T, w, thresh=self.thresh, spike_fn=self.spike_fn,
                 alpha=self.alpha, interpret=self.fuse == "interpret",
@@ -247,7 +257,7 @@ class BaseConv(nn.Module):
     neuron: NeuronCfg = NeuronCfg.ann()
     dtype: object = jnp.float32  # compute dtype (bf16 for MXU throughput)
 
-    def _conv_plif_eligible(self, x0, train: bool) -> bool:
+    def _conv_plif_eligible(self, x0, train: bool, out_dtype=jnp.int8) -> bool:
         """Eval-time whole-site fusion gate: 1x1 or 3x3, stride-1,
         ungrouped spiking conv whose input geometry the fused
         conv+BN+PLIF kernel supports (ops/conv_plif_pallas.py), on the
@@ -279,13 +289,15 @@ class BaseConv(nn.Module):
             shapes = tuple(t.shape for t in x0)
             dts = tuple(t.dtype for t in x0)
             ok = cpp.conv1x1_plif_supported(
-                shapes, self.neuron.T, self.out_channels, dts
+                shapes, self.neuron.T, self.out_channels, dts,
+                out_dtype=out_dtype,
             )
         else:
             sup = (cpp.conv1x1_plif_supported if self.ksize == 1
                    else (cpp.conv3x3_plif_supported if self.stride == 1
                          else cpp.conv3x3s2_plif_supported))
-            ok = sup(x0.shape, self.neuron.T, self.out_channels, x0.dtype)
+            ok = sup(x0.shape, self.neuron.T, self.out_channels, x0.dtype,
+                     out_dtype=out_dtype)
         if not ok:
             return False
         return jax.default_backend() == "tpu"
@@ -330,7 +342,13 @@ class BaseConv(nn.Module):
             momentum=0.97, epsilon=1e-3, dtype=self.dtype, name="bn"
         )
         act = make_act(self.neuron, self.act)
-        if self._conv_plif_eligible(x0, train):
+        # the fused site's output dtype (what the consuming layer reads):
+        # int8 spike storage by default, the conv compute dtype otherwise
+        site_out_dt = (
+            jnp.int8
+            if getattr(act, "eval_store", "int8") == "int8" else self.dtype
+        )
+        if self._conv_plif_eligible(x0, train, out_dtype=site_out_dt):
             # whole-site fusion: fold the eval BN into the conv weights
             # (same algebra as utils/model_surgery.py:fuse_conv_bn) and run
             # conv + affine + PLIF in one kernel — the bf16 preact never
