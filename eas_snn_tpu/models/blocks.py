@@ -217,6 +217,12 @@ class BatchNormFusable(nn.Module):
         ra_var = self.variable(
             "batch_stats", "var", lambda: jnp.ones((C,), f32)
         )
+        if train and os.environ.get("EAS_BN_FROZEN") == "1":
+            # measurement-only ablation (tools/profile_train.py): frozen
+            # running stats in train mode bound what the batch-stats
+            # compute + its backward cost in the train step. NOT a
+            # training mode — gradients differ from true BN.
+            train = False
         if train:
             cdt = jnp.promote_types(self.dtype or x.dtype, f32)
             xf = x.astype(cdt)

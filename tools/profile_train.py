@@ -13,7 +13,19 @@ the same serialized-repeat trick as tools/profile_sections.py:
 so  emb_bwd ≈ grad_full - grad_stop_emb,
     bb_bwd  ≈ grad_stop_emb - grad_stop_backbone.
 
+Finer ablations (measurement-only env switches in models/):
+
+  bn_frozen   — EAS_BN_FROZEN=1: BatchNorm uses running stats in train
+                mode, removing the batch-stats reductions AND their
+                backward. grad_full - bn_frozen bounds the stats cost.
+  stop:dark3  — EAS_BB_STOP=dark3: stop_gradient after that backbone
+                stage (stem|dark2..dark5). Ladder differences give
+                per-stage backward cost:
+                  stage_bwd(dark5) ≈ ms[stop:dark4] - ms[stop:dark5].
+
 Usage: python tools/profile_train.py --batch 32 [--remat] [--K 4]
+       python tools/profile_train.py --batch 128 --state-dtype bfloat16 \
+           --packed auto --sections grad_full,bn_frozen,stop:dark3,...
 """
 
 from __future__ import annotations
@@ -143,6 +155,54 @@ def main():
         out["ms"]["grad_stop_backbone"] = round(
             device_ms(grad_of(make_loss("backbone")), arg0, args.K), 2
         )
+    if "full_step" in secs:
+        # the COMPLETE train step (grad + adam + EMA + batch-stats merge),
+        # as bench_suite.bench_train times it — full_step - grad_full is
+        # the non-gradient overhead of the step
+        import optax
+
+        from eas_snn_tpu.core.train_state import (
+            create_train_state, train_step,
+        )
+
+        state0 = create_train_state(
+            model, rng, events[:1], targets[:1], optax.adam(1e-4),
+            use_ema=True,
+        )
+
+        def step_loss(arg):
+            st, ev = arg
+            new_state, m = train_step(st, ev, targets, use_l1=False,
+                                      ema_decay=0.9998)
+            # return the UPDATED params too — device_ms tree-reduces the
+            # whole output, so the backward + optimizer stay live (a
+            # loss-only return lets XLA dead-code-eliminate them and
+            # times just the forward)
+            return m["total_loss"], new_state.params
+
+        out["ms"]["full_step"] = round(
+            device_ms(step_loss, (state0, events), args.K), 2
+        )
+        print("full_step", out["ms"]["full_step"], flush=True)
+
+    for sec in secs:
+        env = None
+        if sec == "bn_frozen":
+            env = ("EAS_BN_FROZEN", "1")
+        elif sec.startswith("stop:"):
+            env = ("EAS_BB_STOP", sec.split(":", 1)[1])
+        if env is None:
+            continue
+        os.environ[env[0]] = env[1]
+        try:
+            # fresh closure => fresh trace; the env switch is read at
+            # trace time inside BatchNormFusable / CSPDarknet
+            out["ms"][sec] = round(
+                device_ms(grad_of(make_loss("")), arg0, args.K), 2
+            )
+            print(sec, out["ms"][sec], flush=True)
+        finally:
+            del os.environ[env[0]]
 
     ms = out["ms"]
     if "grad_full" in ms and "grad_stop_emb" in ms:
