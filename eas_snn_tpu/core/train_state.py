@@ -90,6 +90,11 @@ def train_step(
             train=True,
             use_l1=use_l1,
             mutable=["batch_stats"],
+            # per-step stream for stochastic activations (ASGL asgl_p>0
+            # Bernoulli masks); deterministic in the step counter, unused
+            # (and free) for every other config
+            rngs={"spikes": jax.random.fold_in(
+                jax.random.PRNGKey(17), state.step)},
         )
         return out["total_loss"], (out, mutated.get("batch_stats", {}))
 

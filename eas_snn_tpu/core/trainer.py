@@ -399,7 +399,37 @@ class Trainer:
         self.tracker.log(
             int(self.state.step), {"AP50_95": ap, "AP50": ap50}, split="val"
         )
+        self._log_pred_images(forward_fn)
         self.save_ckpt(update_best)
+
+    def _log_pred_images(self, forward_fn):
+        """Render NMS'd detections on the first eval batch into the run
+        dir / TB / wandb (reference: WandbLogger's val prediction panel,
+        yolox/utils/logger.py:320-385). ``EAS_LOG_PRED_IMAGES=0``
+        disables."""
+        if self.rank != 0 or os.environ.get(
+                "EAS_LOG_PRED_IMAGES", "1") == "0":
+            return
+        try:
+            import numpy as np
+
+            from ..ops.boxes import postprocess_numpy
+
+            frames, labels, img_sizes, ids = next(iter(
+                self.evaluator.dataloader))
+            outputs = np.asarray(forward_fn(frames))
+            dets = postprocess_numpy(
+                outputs, self.exp.num_classes, self.exp.test_conf,
+                self.exp.nmsthre,
+            )
+            names = getattr(self.evaluator, "class_names", None) or tuple(
+                str(i) for i in range(self.exp.num_classes))
+            self.tracker.log_pred_images(
+                int(self.state.step), np.asarray(frames), dets,
+                class_names=names,
+            )
+        except Exception as e:  # logging must never kill the run
+            self.logger.info(f"pred-image logging skipped: {e}")
 
     def save_ckpt(self, is_best: bool = False):
         if self.rank != 0:

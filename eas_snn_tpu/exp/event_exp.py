@@ -64,6 +64,13 @@ class EventExp(BaseExp):
         self.decay = 0.5
         self.speed_aug = False
         self.spike_fn = "rect"
+        # ASGL ('patan') knobs: EfficientNoisySpikeII mixing prob (the
+        # reference pins p=0 at the registry, event_yolox_base.py:148; the
+        # class default is 0.5) and the learnable InvArcTanh temperature's
+        # granularity: 'layer' | 'channel' | 'neuron'
+        # (reference activation.py:73-83, 181-205)
+        self.asgl_p = 0.0
+        self.alpha_granularity = "layer"
         # conv/BN compute dtype: 'float32' | 'bfloat16' (MXU fast path)
         self.compute_dtype = "float32"
         # 'never'|'auto'|'always': fused Pallas ARSNN eval kernel
@@ -157,6 +164,9 @@ class EventExp(BaseExp):
             T=self.T,
             spike_fn=self.spike_fn,
             alpha=self.alpha,
+            asgl_p=self.asgl_p,
+            alpha_granularity=self.alpha_granularity,
+            norm=self.norm,
             embedding=self.embedding,
             embedding_ksize=self.embedding_ksize,
             embedding_depth=self.embedding_depth,

@@ -43,20 +43,31 @@ __all__ = [
 
 
 class NeuronCfg(NamedTuple):
-    """How activations behave: analog nonlinearity or spiking PLIF over T."""
+    """How activations behave: analog nonlinearity or spiking PLIF over T.
+
+    ``asgl_p`` / ``alpha_granularity`` only engage for spike_fn='patan'
+    (ASGL): the mixing probability of EfficientNoisySpikeII and the
+    granularity of its learnable InvArcTanh temperature — 'layer' (scalar,
+    the reference's reachable config), 'channel' ((C,)) or 'neuron'
+    ((H, W, C)) following the InvRectangle/InvSigmoid granularity scheme
+    (reference: yolox/models/activation.py:73-83, 181-205)."""
 
     spiking: bool = False
     T: int = 1
     spike_fn: str = "atan"
     alpha: float = 2.0
+    asgl_p: float = 0.0
+    alpha_granularity: str = "layer"
 
     @staticmethod
     def ann() -> "NeuronCfg":
         return NeuronCfg(False, 1, "atan", 2.0)
 
     @staticmethod
-    def snn(T: int, spike_fn: str = "atan", alpha: float = 2.0) -> "NeuronCfg":
-        return NeuronCfg(True, T, spike_fn, alpha)
+    def snn(T: int, spike_fn: str = "atan", alpha: float = 2.0,
+            asgl_p: float = 0.0,
+            alpha_granularity: str = "layer") -> "NeuronCfg":
+        return NeuronCfg(True, T, spike_fn, alpha, asgl_p, alpha_granularity)
 
 
 def analog_act(name: str, x: jnp.ndarray) -> jnp.ndarray:
@@ -88,6 +99,8 @@ class PLIF(nn.Module):
     spike_fn: str = "atan"
     alpha: float = 2.0
     thresh: float = 1.0
+    asgl_p: float = 0.0  # ASGL mixing prob (patan only)
+    alpha_granularity: str = "layer"  # patan learnable-alpha granularity
     fuse: str = "auto"  # 'auto' (Pallas on TPU) | 'never' | 'interpret'
     # Spike storage: spikes are exactly 0/1, so int8 storage is
     # bit-lossless and halves the HBM-bound backbone's spike traffic.
@@ -112,11 +125,18 @@ class PLIF(nn.Module):
         # experiment (tools/ap_drift.py) baselines against.
         eval_store = os.environ.get("EAS_SPIKE_STORE", self.eval_store)
         train_store = os.environ.get("EAS_SPIKE_STORE", self.train_store)
+        # ASGL ('patan') eval forward is the plain hard >= threshold
+        # (EfficientNoisySpikeII.forward eval branch, reference
+        # activation.py:196-200) — identical to atan's forward — so the
+        # fused kernels serve it at eval; training needs the learnable-
+        # alpha straight-through closure, which only the scan path runs.
+        kind = "atan" if self.spike_fn == "patan" else self.spike_fn
         use_fused = os.environ.get("EAS_PLIF_FUSE", "1") != "0" and (
             self.fuse == "interpret" or (
                 self.fuse == "auto"
                 and jax.default_backend() == "tpu"
-                and self.spike_fn in ("atan", "rect", "sigmoid", "tanh")
+                and kind in ("atan", "rect", "sigmoid", "tanh")
+                and (self.spike_fn != "patan" or not train)
             )
         )
         if conv1x1 is not None or conv3x3 is not None:
@@ -143,8 +163,7 @@ class PLIF(nn.Module):
                      cpp.conv3x3s2_plif_supported)
                 )
             out_dt = jnp.int8 if eval_store == "int8" else float_dt
-            kw = dict(thresh=self.thresh, spike_fn=self.spike_fn,
-                      out_dtype=out_dt)
+            kw = dict(thresh=self.thresh, spike_fn=kind, out_dtype=out_dt)
             if isinstance(x, (tuple, list)):  # virtual concat (1x1 only)
                 shapes = tuple(t.shape for t in x)
                 dts = tuple(t.dtype for t in x)
@@ -162,7 +181,7 @@ class PLIF(nn.Module):
             else:
                 store = "direct" if eval_store == "int8" else False
             return plif_fused(
-                x, self.T, w, thresh=self.thresh, spike_fn=self.spike_fn,
+                x, self.T, w, thresh=self.thresh, spike_fn=kind,
                 alpha=self.alpha, interpret=self.fuse == "interpret",
                 out_int8=store, affine=affine,
             )
@@ -171,7 +190,38 @@ class PLIF(nn.Module):
             # unfused path would (f32 expression, storage-dtype round)
             mean, mul, bias = affine
             x = ((x - mean) * mul + bias).astype(x.dtype)
-        fn = get_spike_fn(self.spike_fn, self.alpha)
+        if self.spike_fn == "patan":
+            # ASGL: learnable InvArcTanh temperature + stochastic
+            # hard/smooth mixing (reference activation.py:121-131 InvArcTanh
+            # — always an nn.Parameter for patan, event_yolox_base.py:148 —
+            # and :181-205 EfficientNoisySpikeII). Granularity follows the
+            # InvRectangle scheme (:73-83): 'layer' scalar, 'channel' (C,),
+            # 'neuron' per-position (H, W, C) = torch ones_like(x[0]).
+            from ..ops.surrogate import asgl_spike
+
+            if self.alpha_granularity == "layer":
+                shp = (1,)
+            elif self.alpha_granularity == "channel":
+                shp = (x.shape[-1],)
+            elif self.alpha_granularity == "neuron":
+                shp = tuple(x.shape[1:])
+            else:
+                raise NotImplementedError(
+                    f"granularity '{self.alpha_granularity}'")
+            alpha_p = self.param(
+                "alpha", lambda _: jnp.full(shp, self.alpha, jnp.float32))
+            p_eff = float(self.asgl_p) if train else 0.0
+            # mask randomness comes from the 'spikes' rng stream (the
+            # train step folds the global step in); without one the mix
+            # degrades to p=0 (hard forward, smooth grad)
+            key = (self.make_rng("spikes")
+                   if p_eff > 0.0 and self.has_rng("spikes") else None)
+            av = alpha_p.astype(x.dtype)
+
+            def fn(xx, _a=av, _p=p_eff, _k=key, _t=train):
+                return asgl_spike(xx, _a, p=_p, key=_k, training=_t)
+        else:
+            fn = get_spike_fn(self.spike_fn, self.alpha)
         tb = x.shape[0]
         b = tb // self.T
         xs = x.reshape((self.T, b) + x.shape[1:])
@@ -248,7 +298,9 @@ class BatchNormFusable(nn.Module):
 
 def make_act(neuron: NeuronCfg, act: str) -> nn.Module:
     if neuron.spiking:
-        return PLIF(T=neuron.T, spike_fn=neuron.spike_fn, alpha=neuron.alpha)
+        return PLIF(T=neuron.T, spike_fn=neuron.spike_fn, alpha=neuron.alpha,
+                    asgl_p=neuron.asgl_p,
+                    alpha_granularity=neuron.alpha_granularity)
     return ANN(name_=act)
 
 
@@ -448,6 +500,51 @@ class Bottleneck(nn.Module):
         return y
 
 
+def _max_pool_sep(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Stride-1 same-padded k x k max pool as two 1-D pools (rows then
+    cols). Max is separable, so the values are bitwise identical to the
+    2-D pool; the BACKWARD becomes two 1-D ``select_and_scatter`` ops with
+    k-element windows instead of one with a k*k window."""
+    p = [(k // 2, k // 2)]
+    x = nn.max_pool(x, (k, 1), strides=(1, 1), padding=p + [(0, 0)])
+    return nn.max_pool(x, (1, k), strides=(1, 1), padding=[(0, 0)] + p)
+
+
+def spp_pools(x: jnp.ndarray, kernel_sizes: Sequence[int]) -> list:
+    """The SPP pyramid's stride-1 max pools (reference
+    network_blocks.py:131-137 ``nn.MaxPool2d`` at 5/9/13), computed as a
+    CHAIN of separable pools: ``pool_{k+d}(x) == pool_{d+1}(pool_k(x))``
+    for stride-1 same (-inf) padding, so pool13 rides on pool9 rides on
+    pool5 and every stage decomposes into 1-D row/col pools.
+
+    Values are bitwise identical to the direct 2-D pools. Gradients differ
+    ONLY in tie attribution: ``select_and_scatter`` routes each window's
+    cotangent to its first (row-major) max, and the chain reaches a
+    different — equally arbitrary — member of the tied set. On spike
+    tensors (values in {0,1}) ties are pervasive, and the direct 13x13
+    backward was the single most expensive HLO of the flagship train step
+    (select_and_scatter, 18.1 ms of 312 ms at B=128 — BENCHMARKS.md round
+    5); the chain cuts its window work ~9x. ``EAS_SPP_CHAIN=0`` restores
+    the reference formulation.
+    """
+    if os.environ.get("EAS_SPP_CHAIN", "1") == "0":
+        return [
+            nn.max_pool(x, (k, k), strides=(1, 1),
+                        padding=[(k // 2, k // 2)] * 2)
+            for k in kernel_sizes
+        ]
+    pools = []
+    prev_k, y = 0, x
+    for k in kernel_sizes:
+        d = k - prev_k + 1 if prev_k else k
+        if d < 1 or d % 2 == 0:  # non-composable ladder: pool directly
+            y, d = x, k
+        y = _max_pool_sep(y, d)
+        pools.append(y)
+        prev_k = k
+    return pools
+
+
 class SPPBottleneck(nn.Module):
     """Spatial pyramid pooling (reference network_blocks.py:125-147)."""
 
@@ -463,15 +560,7 @@ class SPPBottleneck(nn.Module):
         x = BaseConv(hidden, 1, 1, act=self.act, neuron=self.neuron, dtype=self.dtype, name="conv1")(
             x, train
         )
-        pools = [
-            nn.max_pool(
-                x,
-                (ks, ks),
-                strides=(1, 1),
-                padding=[(ks // 2, ks // 2)] * 2,
-            )
-            for ks in self.kernel_sizes
-        ]
+        pools = spp_pools(x, self.kernel_sizes)
         return BaseConv(
             self.out_channels, 1, 1, act=self.act, neuron=self.neuron,
             dtype=self.dtype, name="conv2"

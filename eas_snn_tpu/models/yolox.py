@@ -44,6 +44,16 @@ class EASYOLOX(nn.Module):
     T: int = 3
     spike_fn: str = "atan"
     alpha: float = 2.0
+    # ASGL ('patan') knobs: hard/smooth mixing prob and learnable-alpha
+    # granularity ('layer' | 'channel' | 'neuron') — see NeuronCfg
+    asgl_p: float = 0.0
+    alpha_granularity: str = "layer"
+    # when set (any non-None value), a BatchNorm over the 2 polarity
+    # channels follows the embedding; with a multi-slice embedding only
+    # slice 0 survives, exactly like the reference's ModuleList wrap
+    # (reference: yolox/exp/event_yolox_base.py:188-192 + the x[0] slice
+    # in yolox.py:30-36 / spiking_yolox.py:41-47)
+    norm: Optional[str] = None
     depthwise: bool = False
     # embedding knobs (see build_embedding)
     embedding: str = "arsnn"
@@ -80,20 +90,18 @@ class EASYOLOX(nn.Module):
     def setup(self):
         assert self.use_spike in USE_SPIKE_MODES, self.use_spike
         spiking = self.use_spike != "none"
-        bb_neuron = (
-            NeuronCfg.snn(self.T, self.spike_fn, self.alpha)
-            if spiking
-            else NeuronCfg.ann()
-        )
+
+        def _snn():
+            return NeuronCfg.snn(self.T, self.spike_fn, self.alpha,
+                                 self.asgl_p, self.alpha_granularity)
+
+        bb_neuron = _snn() if spiking else NeuronCfg.ann()
         neck_neuron = (
-            NeuronCfg.snn(self.T, self.spike_fn, self.alpha)
-            if self.use_spike in ("full", "full_v2")
+            _snn() if self.use_spike in ("full", "full_v2")
             else NeuronCfg.ann()
         )
         head_neuron = (
-            NeuronCfg.snn(self.T, self.spike_fn, self.alpha)
-            if self.use_spike == "full_v2"
-            else NeuronCfg.ann()
+            _snn() if self.use_spike == "full_v2" else NeuronCfg.ann()
         )
         import jax.numpy as _jnp
 
@@ -122,6 +130,14 @@ class EASYOLOX(nn.Module):
         import jax.numpy as jnp_
 
         dt = jnp_.bfloat16 if self.compute_dtype == "bfloat16" else jnp_.float32
+        if self.norm is not None:
+            from .blocks import BatchNormFusable
+
+            # BatchNorm2d(2) after the embedding; init_yolo retunes every
+            # BN to eps=1e-3 / torch momentum 0.03 (flax 0.97)
+            # (reference event_yolox_base.py:179-183, 188-192)
+            self.emb_bn = BatchNormFusable(
+                momentum=0.97, epsilon=1e-3, dtype=dt, name="emb_bn")
         self.backbone = YOLOPAFPN(
             remat=self.remat,
             depth=self.depth,
@@ -168,6 +184,13 @@ class EASYOLOX(nn.Module):
             {"train": train} if self.embedding == "arsnn" else {}
         )
         x = self.emb(events, **emb_kwargs)
+        if self.norm is not None:
+            # the reference's ModuleList wrap slices to the first frame
+            # BEFORE the BN (dim > 4 check, spiking_yolox.py:41-47), so a
+            # multi-slice embedding loses its extra slices under norm
+            if x.ndim > 4:
+                x = x[0]
+            x = self.emb_bn(x.astype(self.emb_bn.dtype), train)
         if self.use_spike == "none":
             if x.ndim > 4:
                 x = x[0]  # keep first slice (reference yolox.py:39-40)

@@ -142,22 +142,29 @@ def asgl_spike(
     p: float = 0.0,
     key: Optional[jax.Array] = None,
     training: bool = True,
+    mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """ASGL straight-through spike with mixing probability ``p``.
 
     When training, each element independently uses the hard spike with
     probability (1 - p) and the smooth value with probability p; the backward
     pass always follows the smooth function (straight-through). ``alpha`` may
-    be a traced (learnable) array.
+    be a traced (learnable) array (reference keeps InvArcTanh's temperature
+    an ``nn.Parameter``, activation.py:121-131).
+
+    ``mask`` (same shape as x, values in {0,1}: 1 = hard spike) overrides the
+    key-derived Bernoulli draw — used by parity tests to inject the exact
+    mask a torch ``EfficientNoisySpikeII`` instance holds.
     """
     sig = inv_arctanh(x, alpha)
     hard = (x >= 0).astype(x.dtype)
     if not training:
         return hard
-    if p <= 0.0 or key is None:
-        mask = 1.0
-    else:
-        mask = jax.random.bernoulli(key, 1.0 - p, x.shape).astype(x.dtype)
+    if mask is None:
+        if p <= 0.0 or key is None:
+            mask = 1.0
+        else:
+            mask = jax.random.bernoulli(key, 1.0 - p, x.shape).astype(x.dtype)
     return sig + jax.lax.stop_gradient((hard - sig) * mask)
 
 

@@ -79,6 +79,87 @@ class MetricsTracker:
                 step=int(step),
             )
 
+    def log_pred_images(self, step: int, frames, detections,
+                        class_names=(), split: str = "val",
+                        conf: float = 0.3, max_images: int = 8):
+        """Log evaluation detection images (reference: WandbLogger's
+        val-image prediction logging, yolox/utils/logger.py:320-385).
+
+        frames: iterable of (H, W, 2) polarity-count event frames (or
+        already-BGR uint8 images); detections: per-frame (n, 7) arrays
+        [x1, y1, x2, y2, obj, cls_conf, cls] (``postprocess_numpy``
+        output) or None. Renders boxes and writes PNGs into
+        ``<output_dir>/pred_images/`` (the JSONL-backend counterpart of a
+        wandb media panel), plus TensorBoard images and wandb.Image with
+        box metadata when those backends are live.
+        """
+        if not self.enabled or self._f is None:
+            return []
+        import numpy as np
+
+        from .visualize import event_frame_to_image, vis_detections
+
+        img_dir = os.path.join(os.path.dirname(self._f.name), "pred_images")
+        os.makedirs(img_dir, exist_ok=True)
+        written = []
+        wandb_imgs = []
+        for i, (frame, det) in enumerate(zip(frames, detections)):
+            if i >= max_images:
+                break
+            frame = np.asarray(frame)
+            if frame.ndim > 3:  # (Tl, Tm, H, W, 2) slices -> one count frame
+                frame = frame.reshape((-1,) + frame.shape[-3:]).sum(0)
+            img = (frame if frame.ndim == 3 and frame.shape[-1] == 3
+                   and frame.dtype == np.uint8
+                   else event_frame_to_image(frame))
+            if det is not None and len(det):
+                det = np.asarray(det)
+                img = vis_detections(
+                    img, det[:, :4], det[:, 4] * det[:, 5],
+                    det[:, 6].astype(int), conf=conf,
+                    class_names=class_names,
+                )
+            path = os.path.join(img_dir, f"step{int(step):08d}_{i}.png")
+            import cv2
+
+            cv2.imwrite(path, img)
+            written.append(path)
+            if self._tb is not None:
+                self._tb.add_image(
+                    f"{split}/pred_{i}", img[..., ::-1], int(step),
+                    dataformats="HWC",
+                )
+            if self._wandb is not None:
+                import wandb  # type: ignore
+
+                box_data = []
+                if det is not None:
+                    for b in det:
+                        if float(b[4] * b[5]) < conf:
+                            continue
+                        cid = int(b[6])
+                        box_data.append({
+                            "position": {
+                                "minX": float(b[0]), "minY": float(b[1]),
+                                "maxX": float(b[2]), "maxY": float(b[3]),
+                            },
+                            "domain": "pixel",
+                            "class_id": cid,
+                            "scores": {"conf": float(b[4] * b[5])},
+                        })
+                wandb_imgs.append(wandb.Image(
+                    img[..., ::-1],
+                    boxes={"predictions": {
+                        "box_data": box_data,
+                        "class_labels": {
+                            j: n for j, n in enumerate(class_names)},
+                    }},
+                ))
+        if self._wandb is not None and wandb_imgs:
+            self._wandb.log({f"{split}/predictions": wandb_imgs},
+                            step=int(step))
+        return written
+
     def log_artifact(self, path: str, name: str, kind: str = "model"):
         """Register a file (e.g. a checkpoint dir) as a wandb artifact
         (reference: WandbLogger.save_checkpoint, yolox/utils/logger.py)."""

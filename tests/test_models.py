@@ -256,3 +256,48 @@ def test_remat_matches_plain(events, labels):
     assert float(l1) == pytest.approx(float(l2), rel=1e-6)
     for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+class TestSPPPoolChain:
+    def test_chained_separable_pools_bitwise_equal(self):
+        """spp_pools (chained separable, EAS_SPP_CHAIN default) must be
+        bitwise-identical to the reference's direct 2-D max pools
+        (reference network_blocks.py:131-137) for float, bf16 and the
+        eval path's int8 spike tensors."""
+        from flax import linen as nn
+
+        from eas_snn_tpu.models.blocks import spp_pools
+
+        rng = np.random.default_rng(7)
+        for dt, mk in (
+            (jnp.float32, lambda: rng.normal(size=(4, 8, 10, 16))),
+            (jnp.bfloat16, lambda: rng.normal(size=(4, 8, 10, 16))),
+            (jnp.int8, lambda: rng.integers(0, 2, (4, 8, 10, 16))),
+            (jnp.bfloat16, lambda: rng.integers(0, 2, (4, 8, 10, 16))),
+        ):
+            x = jnp.asarray(mk(), dt)
+            direct = [
+                nn.max_pool(x, (k, k), strides=(1, 1),
+                            padding=[(k // 2, k // 2)] * 2)
+                for k in (5, 9, 13)
+            ]
+            chain = spp_pools(x, (5, 9, 13))
+            for d, c in zip(direct, chain):
+                assert d.dtype == c.dtype
+                np.testing.assert_array_equal(np.asarray(d), np.asarray(c))
+
+    def test_grads_flow_and_sum_preserved(self):
+        """Tie attribution may differ from the 2-D pool backward, but the
+        TOTAL cotangent mass per pyramid level is conserved (each window
+        routes its full cotangent to exactly one input)."""
+        from eas_snn_tpu.models.blocks import spp_pools
+
+        x = jnp.asarray(
+            np.random.default_rng(8).normal(size=(2, 8, 10, 8)), jnp.float32)
+
+        def total(xx):
+            return sum(p.sum() for p in spp_pools(xx, (5, 9, 13)))
+
+        g = jax.grad(total)(x)
+        assert np.isfinite(np.asarray(g)).all()
+        np.testing.assert_allclose(float(g.sum()), 3 * x.size, rtol=1e-6)

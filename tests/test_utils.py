@@ -220,3 +220,76 @@ class TestAssignViz:
         )
         assert len(imgs) == 2 and imgs[0].shape == (64, 64, 3)
         assert os.path.exists(tmp_path / "assign_0.png")
+
+
+class TestPredImageLogging:
+    def _frames_dets(self):
+        rng = np.random.default_rng(5)
+        frames = rng.integers(0, 3, (2, 24, 32, 2)).astype(np.float32)
+        det0 = np.array([
+            [4.0, 5.0, 20.0, 18.0, 0.9, 0.8, 0.0],
+            [1.0, 1.0, 8.0, 9.0, 0.7, 0.9, 1.0],
+        ])
+        return frames, [det0, None]
+
+    def test_jsonl_backend_writes_pngs(self, tmp_path):
+        from eas_snn_tpu.utils.tracking import MetricsTracker
+
+        t = MetricsTracker(str(tmp_path), backend="jsonl")
+        frames, dets = self._frames_dets()
+        written = t.log_pred_images(
+            7, frames, dets, class_names=("car", "ped"))
+        t.close()
+        assert len(written) == 2
+        for p in written:
+            assert os.path.exists(p)
+        import cv2
+
+        img = cv2.imread(written[0])
+        assert img.shape == (24, 32, 3)
+
+    def test_multislice_frames_collapse(self, tmp_path):
+        from eas_snn_tpu.utils.tracking import MetricsTracker
+
+        t = MetricsTracker(str(tmp_path), backend="jsonl")
+        frames = np.zeros((1, 1, 3, 16, 16, 2), np.float32)  # (B,Tl,Tm,...)
+        written = t.log_pred_images(1, frames, [None])
+        t.close()
+        assert len(written) == 1
+
+    def test_wandb_backend_logs_box_metadata(self, tmp_path, monkeypatch):
+        import sys
+        import types
+
+        calls = {"logged": []}
+
+        class _Run:
+            def log(self, d, step=None):
+                calls["logged"].append((step, d))
+
+            def finish(self):
+                pass
+
+        class _Image:
+            def __init__(self, img, boxes=None):
+                self.boxes = boxes
+
+        fake = types.ModuleType("wandb")
+        fake.init = lambda **kw: _Run()
+        fake.Image = _Image
+        monkeypatch.setitem(sys.modules, "wandb", fake)
+
+        from eas_snn_tpu.utils.tracking import MetricsTracker
+
+        t = MetricsTracker(str(tmp_path), backend="wandb")
+        frames, dets = self._frames_dets()
+        t.log_pred_images(3, frames, dets, class_names=("car", "ped"))
+        t.close()
+        media = [d for _, d in calls["logged"] if "val/predictions" in d]
+        assert len(media) == 1
+        imgs = media[0]["val/predictions"]
+        assert len(imgs) == 2
+        bd = imgs[0].boxes["predictions"]["box_data"]
+        assert len(bd) == 2 and bd[0]["position"]["maxX"] == 20.0
+        assert imgs[0].boxes["predictions"]["class_labels"] == {
+            0: "car", 1: "ped"}
