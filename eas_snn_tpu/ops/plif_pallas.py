@@ -42,6 +42,7 @@ Supported surrogates: atan / rect / sigmoid / tanh (ops/surrogate.py).
 from __future__ import annotations
 
 import math
+import os
 from functools import lru_cache, partial
 
 import jax
@@ -55,10 +56,24 @@ _LANE = 128
 _MAX_ROWS = 512  # per-block sublane rows (chip-swept: 512 > 1024 > 4096 > 128)
 
 
-def _surrogate_deriv(kind: str, alpha: float, x):
+def _fast_math() -> bool:
+    """The backward kernels are VPU-compute-bound (not byte-bound): the
+    round-5 HLO profile measured 65.7 ms/step of PLIF custom-calls against
+    a ~22 ms byte roofline, and the atan surrogate's divide is the single
+    most expensive per-element op in the chain. ``EAS_PLIF_FAST_MATH=1``
+    (default) computes it with the VPU's approximate-reciprocal
+    instruction (~2^-12 relative error) — a *surrogate* gradient tolerance
+    far inside the heuristic's own slack; =0 restores exact IEEE division
+    (the tools/ap_drift.py f32 baseline sets it)."""
+    return os.environ.get("EAS_PLIF_FAST_MATH", "1") != "0"
+
+
+def _surrogate_deriv(kind: str, alpha: float, x, fast: bool = False):
     """f'(x) — mirrors the custom_vjp rules in ops/surrogate.py."""
     if kind == "atan":
         t = (math.pi / 2.0) * alpha * x
+        if fast:
+            return (alpha / 2.0) * pl.reciprocal(1.0 + t * t, approx=True)
         return (alpha / 2.0) / (1.0 + t * t)
     if kind == "rect":
         return (jnp.abs(x) < 0.5 / alpha).astype(x.dtype) * alpha
@@ -118,7 +133,7 @@ def _fwd_kernel(a_ref, x_ref, o_ref, *, T, B, thresh, ge):
 
 def _bwd_kernel(
     a_ref, x_ref, g_ref, dx_ref, da_ref, acc_ref,
-    *, T, B, thresh, kind, alpha, ge,
+    *, T, B, thresh, kind, alpha, ge, fast=False,
 ):
     a32 = a_ref[0]
     # Recompute the forward in f32 — same arithmetic as _fwd_kernel, so the
@@ -136,7 +151,7 @@ def _bwd_kernel(
     g_after = jnp.zeros((x_ref.shape[0], B), jnp.float32)
     da = jnp.float32(0.0)
     for t in range(T - 1, -1, -1):
-        fp = _surrogate_deriv(kind, alpha, v_pre[t] - thresh)
+        fp = _surrogate_deriv(kind, alpha, v_pre[t] - thresh, fast)
         g32 = g_ref[:, t * B:(t + 1) * B].astype(jnp.float32)
         g_pre = g_after + (g32 - thresh * g_after) * fp
         dx_ref[:, t * B:(t + 1) * B] = g_pre.astype(dx_ref.dtype)
@@ -185,7 +200,7 @@ def _fwd_kernel_aff(
 def _bwd_kernel_aff(
     a_ref, x_ref, m_ref, s_ref, b_ref, g_ref,
     dx_ref, da_ref, dm_ref, ds_ref, db_ref, acc_ref,
-    *, T, B, thresh, kind, alpha, ge, rdt,
+    *, T, B, thresh, kind, alpha, ge, rdt, fast=False,
 ):
     a32 = a_ref[0]
     m = m_ref[...].astype(jnp.float32)
@@ -211,7 +226,7 @@ def _bwd_kernel_aff(
     ds = jnp.zeros((x_ref.shape[0], 1), jnp.float32)
     db = jnp.zeros((x_ref.shape[0], 1), jnp.float32)
     for t in range(T - 1, -1, -1):
-        fp = _surrogate_deriv(kind, alpha, v_pre[t] - thresh)
+        fp = _surrogate_deriv(kind, alpha, v_pre[t] - thresh, fast)
         g32 = g_ref[:, t * B:(t + 1) * B].astype(jnp.float32)
         g_pre = g_after + (g32 - thresh * g_after) * fp
         dx_ref[:, t * B:(t + 1) * B] = (g_pre * s).astype(dx_ref.dtype)
@@ -283,7 +298,7 @@ def _make_plif_fused(
         dx2, da = pl.pallas_call(
             partial(
                 _bwd_kernel, T=T, B=B, thresh=thresh, kind=kind,
-                alpha=alpha, ge=ge,
+                alpha=alpha, ge=ge, fast=_fast_math(),
             ),
             out_shape=(
                 jax.ShapeDtypeStruct(x2.shape, x2.dtype),
@@ -300,6 +315,11 @@ def _make_plif_fused(
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ),
             scratch_shapes=[pltpu.SMEM((1,), jnp.float32)],
+            # dx reuses the incoming cotangent's buffer (same shape/dtype/
+            # blocking): one less preact-sized live allocation per site in
+            # the backward, which is what pushes XLA into its auto-remat
+            # (21.9 ms/step of duplicated convs in the round-5 profile)
+            input_output_aliases={2: 0},
             interpret=interpret,
         )(a32, x2, g2)
         return dx2, da
@@ -361,7 +381,7 @@ def _make_plif_fused_aff(
         dx2, da, dm, ds, db = pl.pallas_call(
             partial(
                 _bwd_kernel_aff, T=T, B=B, thresh=thresh, kind=kind,
-                alpha=alpha, ge=ge, rdt=rdt,
+                alpha=alpha, ge=ge, rdt=rdt, fast=_fast_math(),
             ),
             out_shape=(
                 jax.ShapeDtypeStruct(x2.shape, x2.dtype),
@@ -383,6 +403,7 @@ def _make_plif_fused_aff(
                 vec, vec, vec,
             ),
             scratch_shapes=[pltpu.SMEM((1,), f32)],
+            input_output_aliases={5: 0},  # dx reuses g's buffer
             interpret=interpret,
         )(a32, x2, m_r, s_r, b_r, g2)
         return dx2, da, dm, ds, db
