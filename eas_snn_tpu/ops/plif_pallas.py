@@ -68,6 +68,17 @@ def _fast_math() -> bool:
     return os.environ.get("EAS_PLIF_FAST_MATH", "1") != "0"
 
 
+def _alias_dx() -> bool:
+    """``EAS_PLIF_ALIAS=1``: alias the backward kernels' dx output onto the
+    incoming cotangent's buffer (one less preact-sized live allocation per
+    site). Sounds free; measured SLOWER at flagship B=128 (grad_full
+    297.9 -> ~350 ms with aliasing on) — the donation constraint pins the
+    cotangent buffer and visibly degrades XLA's scheduling around the
+    custom-calls, outweighing the memory win. Default off; kept as a
+    measurement switch."""
+    return os.environ.get("EAS_PLIF_ALIAS", "0") == "1"
+
+
 def _surrogate_deriv(kind: str, alpha: float, x, fast: bool = False):
     """f'(x) — mirrors the custom_vjp rules in ops/surrogate.py."""
     if kind == "atan":
@@ -315,11 +326,9 @@ def _make_plif_fused(
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ),
             scratch_shapes=[pltpu.SMEM((1,), jnp.float32)],
-            # dx reuses the incoming cotangent's buffer (same shape/dtype/
-            # blocking): one less preact-sized live allocation per site in
-            # the backward, which is what pushes XLA into its auto-remat
-            # (21.9 ms/step of duplicated convs in the round-5 profile)
-            input_output_aliases={2: 0},
+            # dx CAN reuse the cotangent's buffer (same shape/dtype/
+            # blocking) — measured slower on chip, see _alias_dx
+            input_output_aliases={2: 0} if _alias_dx() else {},
             interpret=interpret,
         )(a32, x2, g2)
         return dx2, da
@@ -403,7 +412,7 @@ def _make_plif_fused_aff(
                 vec, vec, vec,
             ),
             scratch_shapes=[pltpu.SMEM((1,), f32)],
-            input_output_aliases={5: 0},  # dx reuses g's buffer
+            input_output_aliases={5: 0} if _alias_dx() else {},
             interpret=interpret,
         )(a32, x2, m_r, s_r, b_r, g2)
         return dx2, da, dm, ds, db

@@ -431,3 +431,28 @@ class TestProcessLoader:
                 np.testing.assert_array_equal(labels[k], ref_labels)
                 seen.append(int(sid))
         assert sorted(seen) == list(range(len(ds)))
+
+    def test_process_ring_eight_workers(self, rng, tmp_path):
+        """The shm ring at TPU-host worker counts (8 forked workers, more
+        workers than ring slots or batches) on the real Gen1Dataset:
+        every sample delivered exactly once, training path included."""
+        root = build_gen1_tree(tmp_path, rng, n_streams=2, n_groups=6)
+        ds = Gen1Dataset(
+            root, input_size=(64, 64), training=True,
+            aggregation="micro_sum", num_slice=1, micro_slice=2,
+            window=(-100_000, 0),
+        )
+        loader = EventDataLoader(
+            ds, batch_size=3, shuffle=False, infinite=False,
+            num_workers=8, worker_mode="process",
+        )
+        # the 1-core host clamps both knobs; force the 8-worker process
+        # topology the model in tools/loader_scale_model.py assumes
+        loader.num_workers = 8
+        loader.worker_mode = "process"
+        seen = []
+        for frames, labels, sizes, ids in loader:
+            assert frames.shape[1:] == (1, 2, 64, 64, 2)
+            assert np.isfinite(frames).all()
+            seen.extend(int(s) for s in ids)
+        assert sorted(seen) == list(range(len(ds)))

@@ -124,17 +124,26 @@ def make_data(root, n_train=6, n_val=3):
 
 
 # ---------------------------------------------------------------------------
-# 2. shared exp config (tiny SYOLOX at 64x64)
+# 2. shared exp config (tiny SYOLOX at 64x64 / flagship at 256x320)
 # ---------------------------------------------------------------------------
 
-def build_exp(root, epochs):
+def build_exp(root, epochs, geom="tiny"):
     from eas_snn_tpu.exp import get_exp
 
     exp = get_exp(exp_name="gen1_syolox_s")
-    exp.merge([
+    if geom == "flagship":
+        # the preset's OWN geometry: SYOLOX-S (width 0.50) at 256x320,
+        # arsnn depth-2 ksize-5, T=Ts=3/Tm=4 — the reference README's
+        # published Gen1 config (readme.md:124-128). Only dataset/run
+        # knobs are overridden.
+        size_opts = []
+    else:
+        size_opts = [
+            "input_size", "(64, 64)", "test_size", "(64, 64)",
+            "depth", "0.33", "width", "0.125",
+        ]
+    exp.merge(size_opts + [
         "data_dir", root,
-        "input_size", "(64, 64)", "test_size", "(64, 64)",
-        "depth", "0.33", "width", "0.125",
         "max_epoch", str(epochs),
         "eval_interval", "20", "print_interval", "10",
         "data_num_workers", "2",
@@ -142,8 +151,8 @@ def build_exp(root, epochs):
         # bf16 train measured 2.7x on chip; params/ckpt stay f32 so the
         # trained tree is shared by both eval configs below
         "compute_dtype", "bfloat16",
-        # 4x the reference lr/img: tiny model + easy synthetic data favor a
-        # hotter ADAM; the round-2 demo at the reference default needed 400
+        # 4x the reference lr/img: easy synthetic data favors a hotter
+        # ADAM; the round-2 demo at the reference default needed 400
         # epochs to reach AP 0.5
         "scheduler", "fixed", "basic_lr_per_img", "6.25e-5",
     ])
@@ -166,7 +175,7 @@ F32_ENV = {
 }
 
 
-def run_eval(root, mode, batch):
+def run_eval(root, mode, batch, geom="tiny"):
     import jax
     import jax.numpy as jnp
 
@@ -174,7 +183,7 @@ def run_eval(root, mode, batch):
     from eas_snn_tpu.utils.jax_cache import enable_compilation_cache
 
     enable_compilation_cache()
-    exp = build_exp(root, epochs=1)
+    exp = build_exp(root, epochs=1, geom=geom)
     if mode == "deploy":
         exp.tpu_deploy()
     else:
@@ -215,12 +224,16 @@ def main():
     ap.add_argument("--epochs", type=int, default=200)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--skip-train", action="store_true")
+    ap.add_argument("--geom", default="tiny", choices=["tiny", "flagship"],
+                    help="flagship = the gen1_syolox_s preset's own "
+                         "geometry (SYOLOX-S 256x320 T=3/Tm=4)")
     ap.add_argument("--phase", default=None,
                     help="internal: 'eval-f32' | 'eval-deploy'")
     args = ap.parse_args()
 
     if args.phase in ("eval-f32", "eval-deploy"):
-        run_eval(args.root, args.phase.split("-", 1)[1], args.batch)
+        run_eval(args.root, args.phase.split("-", 1)[1], args.batch,
+                 geom=args.geom)
         return
 
     make_data(args.root)
@@ -229,7 +242,7 @@ def main():
         from eas_snn_tpu.utils.jax_cache import enable_compilation_cache
 
         enable_compilation_cache()
-        exp = build_exp(args.root, args.epochs)
+        exp = build_exp(args.root, args.epochs, geom=args.geom)
 
         class TrainArgs:
             batch_size = args.batch
@@ -249,7 +262,8 @@ def main():
             env.update(F32_ENV)
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--root", args.root,
-             "--batch", str(args.batch), "--phase", phase],
+             "--batch", str(args.batch), "--geom", args.geom,
+             "--phase", phase],
             env=env, capture_output=True, text=True, timeout=3600,
         )
         sys.stderr.write(out.stderr[-2000:])
@@ -265,9 +279,12 @@ def main():
             results["deploy"]["ap50"] - results["f32"]["ap50"], 4
         ),
     }
-    summary = {"f32": results["f32"], "deploy": results["deploy"], **delta}
+    summary = {"geom": args.geom, "f32": results["f32"],
+               "deploy": results["deploy"], **delta}
+    name = ("AP_DRIFT.json" if args.geom == "tiny"
+            else "AP_DRIFT_FLAGSHIP.json")
     with open(os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "AP_DRIFT.json"), "w") as f:
+            os.path.abspath(__file__))), name), "w") as f:
         json.dump(summary, f, indent=1)
     print(json.dumps(summary))
 

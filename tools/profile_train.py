@@ -125,7 +125,18 @@ def main():
 
         return loss_fn
 
-    out = {"batch": B, "K": args.K, "remat": args.remat, "ms": {}}
+    # record EVERY config axis in the JSON: a measurement whose flags are
+    # not in its output is uncomparable (round-5 lesson: ~50 ms of phantom
+    # "regression" was two runs at different --state-dtype/--packed)
+    out = {
+        "batch": B, "K": args.K, "remat": args.remat,
+        "state_dtype": args.state_dtype, "packed": args.packed,
+        "env": {
+            k: v for k, v in sorted(os.environ.items())
+            if k.startswith("EAS_")
+        },
+        "ms": {},
+    }
     secs = args.sections.split(",")
     arg0 = (params, events)
 
