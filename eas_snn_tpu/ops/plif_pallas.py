@@ -114,6 +114,27 @@ def _row_tile(R: int, min_tile: int = 16) -> int:
     return 0
 
 
+def _aff_row_tile(hw: int, C: int, min_tile: int) -> int:
+    """Row tile for the AFFINE kernels: a multiple of C, of ``min_tile``,
+    and dividing R = hw*C (i.e. C*k with k | hw).
+
+    Rows of the (H*W*C, T*B) view are channel-minor with period C, so a
+    block of C*k consecutive rows sees the per-channel affine pattern
+    repeated k times — IDENTICALLY in every grid block. The (mean, mul,
+    bias) operands therefore collapse from (R, 1) columns to ONE (rt, 1)
+    tile shared by all grid steps (constant index_map), and the
+    per-channel gradients accumulate in-kernel into the same (rt, 1)
+    shape. The round-5 HLO profile measured the (R, 1) columns at
+    4.7 GiB/s effective bandwidth (a 1-lane-in-128 layout) for
+    26.9 ms/step of 'data formatting' plus their remat compress/
+    uncompress copies; the (rt, 1) tile is ~2 KB and resident."""
+    cap = max(min(_MAX_ROWS, hw * C) // C, 1)
+    for k in range(cap, 0, -1):
+        if hw % k == 0 and (C * k) % min_tile == 0:
+            return C * k
+    return 0
+
+
 def plif_fused_supported(shape4, T: int, dtype) -> bool:
     """(T*B, H, W, C) conv output is kernel-eligible: the (H*W*C, T*B)
     view must be a bitcast of the conv's {0,3,2,1} layout (C % 8 == 0) and
@@ -246,13 +267,21 @@ def _bwd_kernel_aff(
         da = da + jnp.sum(g_pre * v_after_prev[t])
         g_after = g_pre * a32
 
-    ds_ref[...] = ds
-    db_ref[...] = db
-    dm_ref[...] = -(s * db)  # y=(x-m)*s+b -> dL/dm = -mul * sum(g_pre)
-
+    # The affine grads live in (rt, 1) output blocks with a CONSTANT
+    # index_map: the TPU grid is sequential, so the block stays resident
+    # in VMEM and accumulates across grid steps (rows repeat the same
+    # channel pattern in every block — see _aff_row_tile).
     @pl.when(pl.program_id(0) == 0)
     def _init():
         acc_ref[0] = jnp.float32(0.0)
+        ds_ref[...] = jnp.zeros_like(ds_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+
+    ds_ref[...] += ds
+    db_ref[...] += db
+    # y=(x-m)*s+b -> dL/dm = -mul * sum(g_pre); rewritten every step, the
+    # final (sequential) step leaves the fully-accumulated value.
+    dm_ref[...] = -(s * db_ref[...])
 
     acc_ref[0] += da
     da_ref[0] = acc_ref[0]
@@ -340,21 +369,23 @@ def _make_plif_fused(
 @lru_cache(maxsize=None)
 def _make_plif_fused_aff(
     kind: str, alpha: float, thresh: float, T: int, interpret: bool,
-    out_int8: bool, rdt_name: str,
+    out_int8: bool, rdt_name: str, rt: int,
 ):
     """Affine-fused variant: the train-mode BN normalize runs inside the
     kernel (see _fwd_kernel_aff). Inputs (x2, a32, m_r, s_r, b_r) with
-    m/s/b as (R, 1) per-row (= per-channel, rows are channel-minor)
-    vectors; all five differentiable."""
+    m/s/b as ONE (rt, 1) tile (rt = _aff_row_tile multiple of C, so the
+    channel-minor row pattern is identical in every grid block); the
+    tile is shared by all grid steps via a constant index_map, and the
+    dm/ds/db gradients come back in the same (rt, 1) shape (accumulated
+    in-kernel across the sequential grid). All five differentiable."""
     ge = _spike_ge(kind)
     rdt = jnp.dtype(rdt_name)
+    vec = pl.BlockSpec((rt, 1), lambda i: (0, 0))
 
     def _fwd(x2, a32, m_r, s_r, b_r):
         R, TB = x2.shape
         B = TB // T
-        rt = _row_tile(R, 32 if out_int8 else 16)
         out_dt = jnp.int8 if out_int8 else x2.dtype
-        vec = pl.BlockSpec((rt, 1), lambda i: (i, 0))
         return pl.pallas_call(
             partial(_fwd_kernel_aff, T=T, B=B, thresh=thresh, ge=ge,
                     rdt=rdt),
@@ -384,8 +415,6 @@ def _make_plif_fused_aff(
         x2, a32, m_r, s_r, b_r = res
         R, TB = x2.shape
         B = TB // T
-        rt = _row_tile(R, 32 if out_int8 else 16)
-        vec = pl.BlockSpec((rt, 1), lambda i: (i, 0))
         f32 = jnp.float32
         dx2, da, dm, ds, db = pl.pallas_call(
             partial(
@@ -395,9 +424,9 @@ def _make_plif_fused_aff(
             out_shape=(
                 jax.ShapeDtypeStruct(x2.shape, x2.dtype),
                 jax.ShapeDtypeStruct((1,), f32),
-                jax.ShapeDtypeStruct((R, 1), f32),
-                jax.ShapeDtypeStruct((R, 1), f32),
-                jax.ShapeDtypeStruct((R, 1), f32),
+                jax.ShapeDtypeStruct((rt, 1), f32),
+                jax.ShapeDtypeStruct((rt, 1), f32),
+                jax.ShapeDtypeStruct((rt, 1), f32),
             ),
             grid=(R // rt,),
             in_specs=[
@@ -469,24 +498,33 @@ def plif_fused(
     TB, H, W, C = x_tb.shape
     if affine is not None:
         mean_c, mul_c, bias_c = (v.astype(jnp.float32) for v in affine)
-        # rows are channel-minor: r = (h*W + w)*C + c, so tiling the
-        # per-channel vector H*W times lands value c at every row with
-        # r % C == c. jnp.tile is differentiable (cotangent sums over
-        # repeats), so dmean/dmul/dbias chain out automatically.
-        hw = H * W
-        m_r = jnp.tile(mean_c, hw).reshape(-1, 1)
-        s_r = jnp.tile(mul_c, hw).reshape(-1, 1)
-        b_r = jnp.tile(bias_c, hw).reshape(-1, 1)
-        fn = _make_plif_fused_aff(
-            spike_fn, float(alpha), float(thresh), int(T), interpret,
-            bool(out_int8) and out_int8 != "direct",
-            jnp.dtype(x_tb.dtype).name,
-        )
-        s2 = fn(x2, a.reshape(1), m_r, s_r, b_r)
-    else:
-        fn = _make_plif_fused(
-            spike_fn, float(alpha), float(thresh), int(T), interpret,
-            out_int8,
-        )
-        s2 = fn(x2, a.reshape(1))
+        store_view = bool(out_int8) and out_int8 != "direct"
+        rt = _aff_row_tile(H * W, C, 32 if store_view else 16)
+        if rt:
+            # rows are channel-minor: r = (h*W + w)*C + c, so a block of
+            # rt = C*k rows repeats the per-channel vector k times — the
+            # SAME (rt, 1) tile serves every grid block (constant
+            # index_map; see _aff_row_tile). jnp.tile is differentiable
+            # (cotangent sums over the k repeats), so dmean/dmul/dbias
+            # chain out of the kernel's (rt, 1) grads automatically.
+            k = rt // C
+            m_r = jnp.tile(mean_c, k).reshape(-1, 1)
+            s_r = jnp.tile(mul_c, k).reshape(-1, 1)
+            b_r = jnp.tile(bias_c, k).reshape(-1, 1)
+            fn = _make_plif_fused_aff(
+                spike_fn, float(alpha), float(thresh), int(T), interpret,
+                store_view, jnp.dtype(x_tb.dtype).name, rt,
+            )
+            s2 = fn(x2, a.reshape(1), m_r, s_r, b_r)
+            return s2.reshape(H, W, C, TB).transpose(3, 0, 1, 2)
+        # No C-aligned row tile: apply the normalize outside (same f32
+        # expression + storage-dtype round as the kernel epilogue —
+        # bitwise equal) and fall through to the plain kernel.
+        xa = (x_tb.astype(jnp.float32) - mean_c) * mul_c + bias_c
+        x2 = _lanes_view(xa.astype(x_tb.dtype), T)
+    fn = _make_plif_fused(
+        spike_fn, float(alpha), float(thresh), int(T), interpret,
+        out_int8,
+    )
+    s2 = fn(x2, a.reshape(1))
     return s2.reshape(H, W, C, TB).transpose(3, 0, 1, 2)

@@ -278,6 +278,48 @@ class TestBNAffineFusion:
             )
 
 
+def test_affine_grads_multiblock_grid():
+    """Grid > 1 on the affine path: the (rt, 1) dm/ds/db outputs use a
+    constant index_map and accumulate across sequential grid steps
+    (plif_pallas._bwd_kernel_aff). H=W=8 gives R=1024, rt=512 -> 2 grid
+    blocks, so a wrong accumulation (overwrite instead of +=) would halve
+    the per-channel grads."""
+    Hm = Wm = 8
+    rng = np.random.default_rng(31)
+    x = jnp.asarray(rng.normal(0.8, 0.8, (T * B, Hm, Wm, C)), jnp.float32)
+    w = jnp.asarray(-1.0, jnp.float32)
+    mean = jnp.asarray(rng.normal(0.1, 0.3, C), jnp.float32)
+    mul = jnp.asarray(rng.normal(1.0, 0.2, C), jnp.float32)
+    bias = jnp.asarray(rng.normal(0.0, 0.2, C), jnp.float32)
+    g = jnp.asarray(rng.normal(size=x.shape), jnp.float32)
+
+    from eas_snn_tpu.ops.plif_pallas import _aff_row_tile
+
+    rt = _aff_row_tile(Hm * Wm, C, 16)
+    assert rt and (Hm * Wm * C) // rt > 1, "fixture must span several blocks"
+
+    def loss_fused(xx, ww, m, s, b):
+        y = plif_fused(xx, T, ww, spike_fn="atan", interpret=True,
+                       affine=(m, s, b))
+        return (y * g).sum()
+
+    def loss_ref(xx, ww, m, s, b):
+        xn = ((xx - m) * s + b).astype(xx.dtype)
+        y = plif_fused(xn, T, ww, spike_fn="atan", interpret=True)
+        return (y * g).sum()
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(x, w, mean, mul, bias)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(x, w, mean, mul, bias)
+    for a, b_ in zip(gf, gr):
+        # per-block partial sums reduce in a different order than the
+        # reference's full-R reduction: pure f32 summation-order noise
+        # (observed ~5e-5 relative on O(100) per-channel sums)
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b_, np.float32),
+            rtol=5e-4, atol=5e-4,
+        )
+
+
 def test_batchnorm_fusable_matches_flax():
     """BatchNormFusable normalize mode is bit-identical to nn.BatchNorm
     (values, running-stats update, gradients)."""
