@@ -219,6 +219,13 @@ def run_eval(root, mode, batch, geom="tiny"):
 # ---------------------------------------------------------------------------
 
 def main():
+    # long chip-bound run: make wedges diagnosable — SIGUSR2 dumps all
+    # thread stacks to stderr without killing the process
+    import faulthandler
+    import signal
+
+    faulthandler.register(signal.SIGUSR2, all_threads=True)
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", default="/tmp/ap_drift")
     ap.add_argument("--epochs", type=int, default=200)
